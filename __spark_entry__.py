@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: build the full inverted index over the
+                 sf0.001 documents corpus (salted two-phase assembly,
+                 PFor-compressed blocks) and run the frozen reference
+                 query set through block-max WAND; returns the results
+                 DataFrame (query_id, rank, doc_id, score).
+queries()      — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   — matching DuckDB SQL; omitted only for ops that are not
+                 SQL-expressible (driver records a rows-only check).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from oculus_crawl_spark.operators import fulltext_queries, relational
+from oculus_crawl_spark.operators.query import search
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from oculus_crawl_spark.operators.build import build_index_from_documents
+
+    fulltext_queries.ensure_conf(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    root = tempfile.mkdtemp(prefix="ocs_entry_")
+    build_index_from_documents(spark, sf_dir, root)
+    with open(os.path.join(_HERE, "tests", "queries.json")) as f:
+        qset = json.load(f)
+    return search(spark, root, qset["queries"], k=qset["k"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(fulltext_queries.queries())
+    for name, (fn, _sql) in relational.QUERIES.items():
+        out[name] = _with_conf(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(fulltext_queries.oracle_sql())
+    for name, (_fn, sql) in relational.QUERIES.items():
+        if sql is not None:
+            out[name] = sql
+    return out
+
+
+def _with_conf(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        fulltext_queries.ensure_conf(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped

@@ -1,0 +1,57 @@
+"""Engine configuration.
+
+All knobs that matter at 10^12-doc scale live here with their sandbox
+defaults. Comments state the scale rationale (SURVEY.md §4, §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Configuration for one index build / query epoch."""
+
+    # BM25 parameters — pinned by BASELINE.json:6 ("Okapi BM25 k1=1.2 b=0.75").
+    k1: float = 1.2
+    b: float = 0.75
+
+    # Posting block size. 128 matches the block-max WAND literature
+    # (Ding & Suel, SIGIR 2011) and keeps per-block decode vectorizable.
+    block_size: int = 128
+
+    # Salt count S for the two-phase salted posting assembly (SURVEY E7).
+    # Phase 1 groups on (term, salt) so a hot term (a stop word occurring
+    # in ~every doc) is split across S tasks; phase-1 output is already
+    # block-compressed, so the phase-2 shuffle moves ~1-2 bytes/posting.
+    # Scale guidance: S ~ executors; sandbox default keeps groups > 1 row.
+    n_salts: int = 8
+
+    # Term buckets — the partition column of the segments table.
+    # Query-time partition pruning (Q3) reads only buckets containing
+    # query terms; at 10^12 docs this is the difference between scanning
+    # the whole index and a handful of files. Scale: 4096+; sandbox: 16.
+    n_term_buckets: int = 16
+
+    # Doc-range bucket width (log2). Posting blocks never cross a range
+    # boundary, so the query path can repartition candidate blocks by
+    # (query, range) and run an independent exact block-max WAND per
+    # partition — the document-partitioned query fan-out that makes
+    # top-k distributable. 2^20 docs/range => 10^12 docs = ~1M ranges.
+    range_bits: int = 20
+
+    # Shuffle partitions for the build (AQE coalesces down at runtime).
+    shuffle_partitions: int = 32
+
+    # Number of driver-side merge waves for the checkpoint-resumable
+    # segment merge (E14): each wave commits its term buckets + manifest
+    # atomically, so a crash loses at most one wave.
+    merge_waves: int = 4
+
+    # Frozen analysis-chain version, recorded in corpus_stats so an index
+    # built with a different extractor/tokenizer is never silently mixed.
+    analysis_version: str = "1"
+
+
+DEFAULT = IndexConfig()

@@ -1,0 +1,167 @@
+"""Posting-block compression — pure NumPy, fully vectorized.
+
+Two codecs, per BASELINE.json:6 "delta + varint (PForDelta-style block)":
+
+1. ``varint_encode/decode`` — LEB128 (7 data bits + continuation bit),
+   vectorized across the whole array (loops only over byte *positions*,
+   never over values).
+2. ``pfor_encode/decode`` — PForDelta-style frame-of-reference blocks:
+   choose a bit width w minimizing total size, bit-pack the low w bits of
+   every value, and spill values >= 2**w into an exception stream
+   (varint-coded positions-as-deltas + high bits). Decoding is
+   np.unpackbits + a shift-or loop over w bit positions.
+
+DocID lists are stored as ``pfor_encode(np.diff(doc_ids))`` with
+``first_doc`` kept in the segment row (delta coding); tf/dl arrays are
+pfor-coded directly. These functions run only inside Arrow UDF bodies —
+Spark never sees them (SURVEY.md §2 E7c/d).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))  # 2^0 .. 2^63
+_U64_1 = np.uint64(1)
+
+
+def _bit_lengths(values: np.ndarray) -> np.ndarray:
+    """Exact bit length per uint64 value (0 -> 0), no float math."""
+    return np.searchsorted(_POW2, values, side="right").astype(np.int64)
+
+
+# --- varint (LEB128) ---------------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nbytes = np.maximum(1, (_bit_lengths(v) + 6) // 7)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    kmax = int(nbytes.max())
+    for j in range(kmax):  # loop over byte positions (<=10), not values
+        sel = nbytes > j
+        chunk = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = np.where(nbytes[sel] > j + 1, 0x80, 0).astype(np.uint8)
+        out[offsets[:-1][sel] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_end)  # inclusive last byte of each value
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    nbytes = ends - starts + 1
+    kmax = int(nbytes.max())
+    vals = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(kmax):
+        sel = nbytes > j
+        vals[sel] |= (raw[starts[sel] + j] & np.uint64(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * j)
+    return vals
+
+
+# --- PForDelta-style bit-packed blocks --------------------------------------
+
+_HEADER = struct.Struct("<IBI")  # n_values, width, n_exceptions
+
+
+def _choose_width(bits: np.ndarray) -> int:
+    """Deterministic width choice: minimize packed + exception bytes."""
+    n = len(bits)
+    sorted_bits = np.sort(bits)
+    widths = np.arange(65)
+    n_ok = np.searchsorted(sorted_bits, widths, side="right")
+    n_exc = n - n_ok
+    # exceptions cost ~2 varint bytes for the position delta + high bits
+    exc_cost = n_exc * 4
+    total = (n * widths + 7) // 8 + exc_cost
+    return int(np.argmin(total))  # argmin takes the first (lowest w) tie
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PForDelta-style encode of a uint64 array (order-preserving)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return _HEADER.pack(0, 0, 0)
+    bits = _bit_lengths(v)
+    w = _choose_width(bits)
+    if w > 0:
+        mask = (_U64_1 << np.uint64(w)) - _U64_1 if w < 64 else ~np.uint64(0)
+        low = v & mask
+        bitmat = (
+            (low[:, None] >> np.arange(w, dtype=np.uint64)) & _U64_1
+        ).astype(np.uint8)
+        packed = np.packbits(bitmat.reshape(-1), bitorder="little").tobytes()
+    else:
+        packed = b""
+    exc_pos = np.flatnonzero(bits > w).astype(np.uint64)
+    n_exc = len(exc_pos)
+    if n_exc:
+        high = v[exc_pos] >> np.uint64(w) if w < 64 else np.zeros(n_exc, np.uint64)
+        pos_deltas = np.diff(exc_pos, prepend=np.uint64(0))
+        exc_stream = varint_encode(pos_deltas) + varint_encode(high)
+    else:
+        exc_stream = b""
+    return _HEADER.pack(n, w, n_exc) + packed + exc_stream
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    """Inverse of pfor_encode."""
+    n, w, n_exc = _HEADER.unpack_from(buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off = _HEADER.size
+    vals = np.zeros(n, dtype=np.uint64)
+    if w > 0:
+        packed_len = (n * w + 7) // 8
+        bitmat = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8, count=packed_len, offset=off),
+            count=n * w,
+            bitorder="little",
+        ).reshape(n, w)
+        for j in range(w):
+            vals |= bitmat[:, j].astype(np.uint64) << np.uint64(j)
+        off += packed_len
+    if n_exc:
+        exc = varint_decode(buf[off:])
+        pos = np.cumsum(exc[:n_exc]).astype(np.int64)
+        high = exc[n_exc : 2 * n_exc]
+        if w < 64:
+            vals[pos] |= high << np.uint64(w)
+    return vals
+
+
+# --- docID delta coding ------------------------------------------------------
+
+
+def encode_doc_gaps(doc_ids: np.ndarray) -> bytes:
+    """Strictly-increasing doc_ids -> pfor-coded gaps (first id excluded;
+    the segment row keeps it as ``first_doc``)."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    return pfor_encode(np.diff(d))
+
+
+def decode_doc_ids(first_doc: int, doc_bytes: bytes, n_docs: int) -> np.ndarray:
+    """Inverse of encode_doc_gaps given the stored first_doc and count."""
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64)
+    gaps = pfor_decode(doc_bytes)
+    out = np.empty(n_docs, dtype=np.uint64)
+    out[0] = first_doc
+    if n_docs > 1:
+        np.cumsum(gaps, out=out[1:])
+        out[1:] += np.uint64(first_doc)
+    return out

@@ -1,0 +1,362 @@
+"""Query path — ops Q1..Q7 of SURVEY.md §2.B.
+
+  Q1 tokenize query (shared frozen analyzer)
+  Q2 dictionary lookup -> (term, df, idf, term_bucket)      [tiny, driver]
+  Q3 partition pruning: segments scan touches ONLY the term_buckets of
+     query terms (literal IN-list => parquet/Iceberg partition pruning)
+     + broadcast join against the query-terms DataFrame
+  Q4 block-max WAND: per (query_id, range_bucket) group, an exact top-k
+     with per-block max-score skipping over lazily-decompressed posting
+     blocks, vectorized in NumPy inside applyInPandas
+  Q5 Okapi BM25 k1=1.2 b=0.75 (functions/bm25 — one frozen formula)
+  Q6 global top-k merge of the per-range top-k rows (tiny)
+  Q7 rank assignment, pinned tie-break (score DESC, doc_id ASC)
+
+Scale story: the index is document-range partitioned (blocks never cross
+a range_bucket), so Q4 runs one independent exact WAND per (query,
+range) — 10^12 docs = ~1M ranges fanned out across executors, each
+seeing only its range's blocks. Per-range top-k lists (<= k rows each)
+are then globally merged — a classic document-partitioned search tier
+expressed as two DataFrame ops.
+
+Exactness of the skipping (BMW soundness argument): for every block b of
+term t, UB(b) = idf_t*block_max(b) + sum over other query terms t' of
+the max idf_t'*block_max over t' blocks OVERLAPPING b's [first,last]
+doc range. Any doc d in b appears, for each of its matching terms, in a
+block overlapping b's range (it contains d), so score(d) <= UB(b).
+Blocks with UB(b) < theta (theta = current k-th best score) can be
+skipped wholesale; candidate docs from surviving blocks are scored
+EXACTLY by probing all terms' blocks that contain them (decompressed on
+demand). Property-tested BMW == exhaustive in tests/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, IndexConfig
+from ..functions import bm25
+from ..functions.analysis import tokenize
+from ..functions.codec import decode_doc_ids, pfor_decode
+from .build import IndexPaths, _term_bucket_py
+
+
+# --- sparse-table range-max (vectorized overlap bounds) ----------------------
+
+
+def _sparse_table(values: np.ndarray) -> list[np.ndarray]:
+    """st[j][i] = max(values[i : i + 2**j]); O(n log n), fully vectorized."""
+    st = [values]
+    j = 1
+    while (1 << j) <= len(values):
+        prev = st[-1]
+        half = 1 << (j - 1)
+        st.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+        j += 1
+    return st
+
+
+def _range_max(st: list[np.ndarray], lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized max(values[lo:hi]) per query window; 0.0 where lo >= hi."""
+    out = np.zeros(len(lo), dtype=np.float64)
+    length = hi - lo
+    nonempty = length > 0
+    if not nonempty.any():
+        return out
+    j = np.zeros(len(lo), dtype=np.int64)
+    j[nonempty] = np.int64(np.floor(np.log2(length[nonempty])))
+    for jj in np.unique(j[nonempty]):
+        sel = nonempty & (j == jj)
+        span = 1 << int(jj)
+        tbl = st[int(jj)]
+        out[sel] = np.maximum(tbl[lo[sel]], tbl[hi[sel] - span])
+    return out
+
+
+# --- the per-(query, range) exact BMW kernel ---------------------------------
+
+
+class _TermBlocks:
+    """All candidate blocks of one term within the group, sorted by
+    first_doc (disjoint doc ranges within a term). Decompresses blocks
+    lazily and caches them."""
+
+    __slots__ = ("idf", "first", "last", "bmax", "rows", "_cache", "decoded_blocks")
+
+    def __init__(self, idf: float, pdf: pd.DataFrame):
+        order = np.argsort(pdf["first_doc"].to_numpy(), kind="stable")
+        self.idf = idf
+        self.first = pdf["first_doc"].to_numpy()[order]
+        self.last = pdf["last_doc"].to_numpy()[order]
+        self.bmax = idf * pdf["block_max_tf_norm"].to_numpy()[order].astype(np.float64)
+        self.rows = pdf.iloc[order]
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.decoded_blocks = 0
+
+    def decode(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        hit = self._cache.get(i)
+        if hit is None:
+            r = self.rows.iloc[i]
+            # int64 throughout the kernel: mixing uint64 with int64 in
+            # searchsorted silently upcasts to float64 (lossy past 2^53).
+            docs = decode_doc_ids(
+                int(r["first_doc"]), r["doc_bytes"], int(r["n_docs"])
+            ).astype(np.int64)
+            hit = (docs, pfor_decode(r["tf_bytes"]), pfor_decode(r["dl_bytes"]))
+            self._cache[i] = hit
+            self.decoded_blocks += 1
+        return hit
+
+    def score_docs(self, cand: np.ndarray, avgdl: float) -> np.ndarray:
+        """Exact idf*tf_norm contribution of this term for each candidate
+        doc (0 where the doc has no posting). Decompresses only blocks
+        that can contain a candidate."""
+        out = np.zeros(len(cand), dtype=np.float64)
+        bidx = np.searchsorted(self.first, cand, side="right") - 1
+        valid = (bidx >= 0) & (cand <= self.last[np.maximum(bidx, 0)])
+        if not valid.any():
+            return out
+        for i in np.unique(bidx[valid]):
+            docs, tfs, dls = self.decode(int(i))
+            in_block = valid & (bidx == i)
+            pos = np.searchsorted(docs, cand[in_block])
+            pos = np.minimum(pos, len(docs) - 1)
+            hit = docs[pos] == cand[in_block]
+            if hit.any():
+                tgt = np.flatnonzero(in_block)[hit]
+                p = pos[hit]
+                out[tgt] = self.idf * bm25.tf_norm(tfs[p], dls[p], avgdl)
+        return out
+
+
+def _bmw_topk(
+    terms: list[_TermBlocks], k: int, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k (docs, scores) for one (query, range) group."""
+
+    def exact_scores(cand: np.ndarray) -> np.ndarray:
+        s = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:
+            s += t.score_docs(cand, avgdl)
+        return s
+
+    # Seed theta: exactly score the docs of each term's single best block.
+    seed_parts = [t.decode(int(np.argmax(t.bmax)))[0] for t in terms if len(t.first)]
+    if not seed_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    seed = np.unique(np.concatenate(seed_parts))
+    seed_scores = exact_scores(seed)
+    if len(seed) > k:
+        theta = -np.partition(-seed_scores, k - 1)[k - 1]
+    else:
+        theta = -np.inf
+
+    # Per-block upper bounds: own bmax + overlap-window max of other terms.
+    surviving: list[np.ndarray] = []
+    sts = [
+        _sparse_table(t.bmax) if len(t.bmax) else None for t in terms
+    ]
+    for ti, t in enumerate(terms):
+        if not len(t.first):
+            continue
+        ub = t.bmax.copy()
+        for tj, o in enumerate(terms):
+            if tj == ti or not len(o.first):
+                continue
+            lo = np.searchsorted(o.last, t.first, side="left")
+            hi = np.searchsorted(o.first, t.last, side="right")
+            ub += _range_max(sts[tj], lo, hi)
+        keep = ub >= theta - 1e-9  # strict-prune only; float-safe slack
+        for i in np.flatnonzero(keep):
+            surviving.append(t.decode(int(i))[0])
+
+    cand = np.unique(np.concatenate([seed] + surviving)) if surviving else seed
+    scores = exact_scores(cand)
+    if len(cand) > k:
+        part = np.argpartition(-scores, k - 1)[:k]
+        # pinned tie-break: score DESC, doc_id ASC — but argpartition's
+        # boundary may split ties arbitrarily, so re-select on the full
+        # set when the k-th score ties outside the partition.
+        kth = scores[part].min()
+        tied = scores >= kth - 0.0
+        idx = np.flatnonzero(tied)
+        order = np.lexsort((cand[idx], -scores[idx]))
+        sel = idx[order][:k]
+    else:
+        order = np.lexsort((cand, -scores))
+        sel = order
+    return cand[sel], scores[sel]
+
+
+# --- the Spark surface --------------------------------------------------------
+
+
+def _wand_factory(k: int, avgdl: float):
+    def wand(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        terms = [
+            _TermBlocks(float(g["idf"].iloc[0]), g)
+            for _, g in pdf.groupby("term", sort=True)
+        ]
+        docs, scores = _bmw_topk(terms, k, avgdl)
+        total = int(len(pdf))
+        decoded = int(sum(t.decoded_blocks for t in terms))
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(docs), qid, dtype=np.int32),
+                "doc_id": docs.astype(np.int64),
+                "score": scores,
+                "blocks_total": np.full(len(docs), total, dtype=np.int64),
+                "blocks_decoded": np.full(len(docs), decoded, dtype=np.int64),
+            }
+        )
+
+    return wand
+
+
+_WAND_SCHEMA = (
+    "query_id int, doc_id long, score double, "
+    "blocks_total long, blocks_decoded long"
+)
+
+
+def search(
+    spark: SparkSession,
+    index_root: str,
+    queries: list[str] | list[list[str]],
+    k: int = 10,
+    cfg: IndexConfig = DEFAULT,
+    with_metrics: bool = False,
+) -> DataFrame:
+    """BM25 top-k for a batch of queries against a built index.
+
+    Returns DataFrame(query_id, rank, doc_id, score) — rank-identical to
+    the exhaustive oracle (pinned tie-break score DESC, doc_id ASC)."""
+    paths = IndexPaths(index_root)
+
+    # Q1: tokenize queries with the SAME frozen analyzer as the corpus.
+    qterms: list[tuple[int, str]] = []
+    for qid, q in enumerate(queries):
+        toks = tokenize(q) if isinstance(q, str) else [t for s in q for t in tokenize(s)]
+        qterms.extend((qid, t) for t in sorted(set(toks)))
+
+    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double"
+    )
+    if not qterms:
+        return empty
+
+    # Q2: dictionary lookup — semi-join the (tiny) term list, collect df.
+    terms_df = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in qterms})], "term string"
+    )
+    dict_rows = (
+        spark.read.parquet(paths.dictionary)
+        .join(F.broadcast(terms_df), "term", "inner")
+        .select("term", "df", "term_bucket")
+        .collect()
+    )
+    if not dict_rows:
+        return empty
+    df_by_term = {r["term"]: int(r["df"]) for r in dict_rows}
+    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+
+    # idf per (query, term), computed once driver-side (tiny).
+    qrows = [
+        (qid, t, float(bm25.idf(n_docs, np.array([df_by_term[t]]))[0]))
+        for qid, t in qterms
+        if t in df_by_term
+    ]
+    if not qrows:
+        return empty
+    qdf = spark.createDataFrame(qrows, "query_id int, term string, idf double")
+
+    # Q3: partition-pruned scan (term_bucket IN literal list) + broadcast
+    # join — never a shuffle of the segments side.
+    segments = spark.read.parquet(paths.segments).filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    cand = segments.join(F.broadcast(qdf), "term", "inner")
+
+    # Q4/Q5: one exact BMW per (query, range) — the document-partitioned
+    # fan-out; each group sees only its range's blocks.
+    per_range = cand.groupBy("query_id", "range_bucket").applyInPandas(
+        _wand_factory(k, avgdl), _WAND_SCHEMA
+    )
+
+    # Q6/Q7: global merge of per-range top-k (<= ranges*k tiny rows).
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    out_cols = ["query_id", "rank", "doc_id", "score"]
+    if with_metrics:
+        out_cols += ["blocks_total", "blocks_decoded"]
+    return (
+        per_range.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+
+
+def search_bruteforce(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Index-free exhaustive BM25 — pure DataFrame expressions end to end
+    (no Python UDF on the scoring path; the tokenizer is the codegen'd
+    ``tokenize_expr`` equivalent of the frozen spec). Used as the Spark-
+    side oracle and for one-shot queries where building an index is not
+    worth it."""
+    from ..functions.analysis import tokenize_expr
+
+    toks = corpus.select(
+        "doc_id", tokenize_expr(F.col("text")).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    qrows = []
+    for qid, q in enumerate(queries):
+        for t in sorted(set(tokenize(q))):
+            qrows.append((qid, t))
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qdf = spark.createDataFrame(qrows, "query_id int, term string")
+
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            bm25.idf_col(F.col("n_docs"), F.col("df"))
+            * bm25.tf_norm_col(F.col("tf"), F.col("dl"), F.col("avgdl")),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,729 @@
+"""General relational surface (SURVEY.md §2.B table) — each entry is a
+(Spark DataFrame callable, DuckDB oracle SQL) pair over the driver's
+TPC-H-ish testdata views.
+
+Determinism rules for the driver's order-insensitive value-hash:
+* money-like double sums go through DECIMAL(28,2) casts on BOTH sides
+  (FP summation order would otherwise differ between engines);
+* other derived doubles are round()ed identically on both sides;
+* timestamps are emitted as formatted strings (Spark session TZ is
+  pinned UTC; DuckDB timestamps are naive UTC);
+* every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --- scans / projection / filter ---------------------------------------------
+
+
+def q_scan_filter_project(spark, sf_dir):
+    """E2a/E2b: projection + filters pushed down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-02-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        )
+    )
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-02-01'
+  AND l_quantity > 45
+"""
+
+
+# --- aggregation (TPC-H Q1 shape) --------------------------------------------
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(28,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                * (1 - CAST(l_discount AS DECIMAL(28,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+       count(*) AS count_order,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- joins --------------------------------------------------------------------
+
+
+def q_join_broadcast(spark, sf_dir):
+    """Q2-style broadcast hash join: small dim broadcast, never SMJ."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT p_brand, count(*) AS n_items,
+       sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_join_multiway(spark, sf_dir):
+    """5-way join through the star schema (Catalyst picks broadcast for
+    the small dims, SMJ/shuffle-hash above threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(28,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(28,2)"))
+                ).cast("decimal(28,4)")
+            ).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_JOIN_MULTIWAY = """
+SELECT r_name, count(*) AS n_lineitems,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                * (1 - CAST(l_discount AS DECIMAL(28,2))) AS DECIMAL(28,4))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_join_left_semi(spark, sf_dir):
+    """Semi join (EXISTS) — the segment-pruning primitive (Q3)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_JOIN_LEFT_SEMI = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_join_left_anti(spark, sf_dir):
+    """Anti join (NOT EXISTS) — the merge-resume primitive (E14)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_JOIN_LEFT_ANTI = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_join_outer(spark, sf_dir):
+    """Left outer join with null-filled aggregates."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_f_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)")),
+                F.lit(0).cast("decimal(28,2)"),
+            ).cast("decimal(28,2)").alias("f_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_JOIN_OUTER = """
+SELECT c_custkey, count(o_orderkey) AS n_f_orders,
+       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(28,2))), 0) AS DECIMAL(28,2)) AS f_total
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q_join_range_theta(spark, sf_dir):
+    """Range/theta join: pairs of events by the same user within 5 min
+    (equi on user + ts band). Catalyst turns the equi part into a hash
+    join and applies the band as a post-filter."""
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("interval 5 minutes"))
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy(
+        "user_id"
+    )
+
+
+SQL_JOIN_RANGE_THETA = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id ORDER BY a.user_id
+"""
+
+
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each purchase, the latest prior click by the same
+    user (Spark has no native ASOF — expressed as band join + argmax;
+    the DuckDB oracle uses the same formulation)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id) & (clicks.c_ts <= purchases.p_ts),
+        "left",
+    ).select(purchases.user_id, "p_id", "p_ts", "c_ts")
+    return (
+        joined.groupBy("p_id", "user_id")
+        .agg(
+            F.date_format(F.max("c_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_click_ts"
+            )
+        )
+        .orderBy("p_id")
+    )
+
+
+SQL_JOIN_ASOF = """
+SELECT p.event_id AS p_id, p.user_id,
+       strftime(max(c.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+ORDER BY p_id
+"""
+
+
+# --- windows ------------------------------------------------------------------
+
+
+def q_window_ranking(spark, sf_dir):
+    """row_number / rank / dense_rank / ntile per nation on acctbal."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+SQL_WINDOW_RANKING = """
+SELECT c_nationkey, c_custkey, rn, rnk, drnk, quartile FROM (
+  SELECT c_nationkey, c_custkey,
+         row_number() OVER w AS rn,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4) OVER w AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+) t WHERE rn <= 5 ORDER BY c_nationkey, rn
+"""
+
+
+def q_window_running_sum(spark, sf_dir):
+    """Analytic frame: per-user running sum + lag delta over event time."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+            ).alias("running_value"),
+            F.round(F.lag("value", 1, 0.0).over(w), 4).alias("prev_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+       round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS prev_value
+FROM events ORDER BY user_id, event_id
+"""
+
+
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame over a numeric time key: 1h trailing event count."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("n_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+FROM events ORDER BY user_id, event_id
+"""
+
+
+def q_dedup_latest_per_key(spark, sf_dir):
+    """E2c pattern: latest row per key via ranking window (the same
+    operator that dedups crawl snapshots per url)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_DEDUP_LATEST_PER_KEY = """
+SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders by totalprice per priority (window top-k)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "rn",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) t
+WHERE rn <= 3 ORDER BY o_orderpriority, rn
+"""
+
+
+# --- grouping sets / rollup / cube -------------------------------------------
+
+
+def q_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+SQL_ROLLUP = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY ROLLUP (event_type)
+ORDER BY event_type ASC NULLS FIRST
+"""
+
+
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# --- set ops ------------------------------------------------------------------
+
+
+def q_set_ops(spark, sf_dir):
+    """intersect / except over customer key sets."""
+    o = _t(spark, sf_dir, "orders")
+    with_f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    with_o = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = with_f.intersect(with_o).withColumn("category", F.lit("both"))
+    f_only = with_f.distinct().exceptAll(with_o.distinct()).withColumn(
+        "category", F.lit("f_only")
+    )
+    return both.unionByName(f_only).orderBy("category", "custkey")
+
+
+SQL_SET_OPS = """
+SELECT custkey, 'both' AS category FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+UNION ALL
+SELECT custkey, 'f_only' AS category FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O')
+ORDER BY category, custkey
+"""
+
+
+# --- distinct aggregation -----------------------------------------------------
+
+
+def q_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+# --- scalar function surface ---------------------------------------------------
+
+
+def q_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("novowels"),
+    ).orderBy("p_partkey")
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey, lower(p_name) AS lname, length(p_name) AS name_len,
+       substring(p_type, 1, 5) AS type5,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_datetime_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hh"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("day", "hh")
+    )
+
+
+SQL_DATETIME_FUNCS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(extract(hour FROM ts) AS INT) AS hh, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY day, hh
+"""
+
+
+def q_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.log1p("l_quantity")), 4).alias("sum_log_qty"),
+            F.round(F.avg(F.sqrt("l_extendedprice")), 4).alias("avg_sqrt_price"),
+            F.round(F.max(F.pow(F.col("l_discount"), 2)), 6).alias("max_disc_sq"),
+            F.round(
+                F.sum(F.greatest("l_tax", "l_discount")), 4
+            ).alias("sum_greatest"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_MATH_FUNCS = """
+SELECT l_returnflag,
+       round(sum(ln(1 + l_quantity)), 4) AS sum_log_qty,
+       round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt_price,
+       round(max(pow(l_discount, 2)), 6) AS max_disc_sq,
+       round(sum(greatest(l_tax, l_discount)), 4) AS sum_greatest
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array surface over tokenized documents — scalar outputs only (the
+    engine's E3/E4 path exercised as plain SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), "[^a-z0-9]+")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_contains(toks, "dup").cast("int").alias("has_dup"),
+        F.element_at(F.array_sort(toks), 1).alias("first_token"),
+    ).orderBy("doc_id")
+
+
+SQL_ARRAY_FUNCS = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_unique,
+       CAST(list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'dup') AS INT) AS has_dup,
+       list_sort(regexp_extract_all(lower(text), '[a-z0-9]+'))[1] AS first_token
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_json_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+SQL_JSON_FUNCS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def q_conditional_agg_pivot(spark, sf_dir):
+    """Pivot expressed as conditional aggregation (identical SQL shape)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types
+    ]
+    return e.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+SQL_CONDITIONAL_AGG_PIVOT = """
+SELECT user_id,
+       count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type='view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type='error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    ckeys = c.select(F.col("c_nationkey").alias("nationkey"))
+    skeys = s.select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        ckeys.union(skeys)
+        .distinct()
+        .join(n, F.col("nationkey") == n.n_nationkey)
+        .select("nationkey", "n_name")
+        .orderBy("nationkey")
+    )
+
+
+SQL_UNION_DISTINCT = """
+SELECT nationkey, n_name FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier) t
+JOIN nation ON nationkey = n_nationkey
+ORDER BY nationkey
+"""
+
+
+QUERIES = {
+    "rel_scan_filter_project": (q_scan_filter_project, SQL_SCAN_FILTER_PROJECT),
+    "rel_agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
+    "rel_join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
+    "rel_join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
+    "rel_join_left_semi": (q_join_left_semi, SQL_JOIN_LEFT_SEMI),
+    "rel_join_left_anti": (q_join_left_anti, SQL_JOIN_LEFT_ANTI),
+    "rel_join_outer": (q_join_outer, SQL_JOIN_OUTER),
+    "rel_join_range_theta": (q_join_range_theta, SQL_JOIN_RANGE_THETA),
+    "rel_join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "rel_window_ranking": (q_window_ranking, SQL_WINDOW_RANKING),
+    "rel_window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
+    "rel_window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
+    "rel_dedup_latest_per_key": (q_dedup_latest_per_key, SQL_DEDUP_LATEST_PER_KEY),
+    "rel_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "rel_rollup": (q_rollup, SQL_ROLLUP),
+    "rel_cube": (q_cube, SQL_CUBE),
+    "rel_set_ops": (q_set_ops, SQL_SET_OPS),
+    "rel_distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
+    "rel_string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "rel_datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
+    "rel_math_funcs": (q_math_funcs, SQL_MATH_FUNCS),
+    "rel_array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
+    "rel_json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
+    "rel_conditional_agg_pivot": (q_conditional_agg_pivot, SQL_CONDITIONAL_AGG_PIVOT),
+    "rel_union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+}

@@ -1,0 +1,58 @@
+"""SparkSession factory — one place for every engine-relevant config.
+
+Settings are chosen for the 100 TB design point and merely *sized* for
+the sandbox (local[32], single JVM): AQE on (runtime re-plan + skew-join
+splitting + partition coalescing), Arrow on (every Python crossing is a
+record-batch, never a row), UTC timezone (DuckDB-oracle comparability),
+shuffle partitions ~ cores (AQE shrinks further when data is small).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "oculus_crawl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default *).
+    On a real cluster this function is still the entry point — master and
+    memory come from spark-submit and the builder settings are no-ops.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Dynamic partition overwrite: the resumable merge (E14) rewrites
+        # only the term_bucket partitions it actually recomputed.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Arrow batch size: bounds Python-worker memory per batch; 10k
+        # rows of compressed posting blocks is a few MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

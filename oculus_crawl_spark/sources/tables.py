@@ -1,0 +1,92 @@
+"""Table IO — testdata readers and the Iceberg-or-Parquet write shim.
+
+The engine's design target is Iceberg (BASELINE.json:14: atomic snapshot
+commits = the checkpoint granule for resumable merges). This sandbox has
+no Iceberg runtime jars and no network (SURVEY.md §7.6), so writes go
+through ``write_table``: ``format("iceberg")`` when an Iceberg catalog is
+configured on the session, else partitioned Parquet with the identical
+layout. All tests/benches exercise the Parquet path; a real cluster
+flips only these call sites via ``--packages iceberg-spark-runtime``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided testdata table (TESTDATA.md:14-15)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (SQL surface)."""
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, if any."""
+    for key, value in spark.sparkContext.getConf().getAll():
+        if key.startswith("spark.sql.catalog.") and "iceberg" in value.lower():
+            return key.split(".", 3)[3]
+    return None
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table via Iceberg when available, else layout-identical
+    partitioned Parquet. ``mode='overwrite'`` honors the session's dynamic
+    partition-overwrite setting, so only partitions present in ``df`` are
+    replaced — the primitive the resumable merge builds on."""
+    spark = df.sparkSession
+    catalog = _iceberg_catalog(spark)
+    if catalog is not None:
+        table = f"{catalog}.{path.strip('/').replace('/', '.')}"
+        writer = df.writeTo(table)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_engine_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a table written by write_table (either backend)."""
+    catalog = _iceberg_catalog(spark)
+    if catalog is not None:
+        return spark.read.table(f"{catalog}.{path.strip('/').replace('/', '.')}")
+    return spark.read.parquet(path)

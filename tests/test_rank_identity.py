@@ -1,0 +1,116 @@
+"""Rank-identity: the optimized engine (block-max WAND over compressed
+segments) must match two INDEPENDENT exhaustive BM25 oracles — pure
+NumPy and DuckDB SQL — on the frozen query set (SURVEY.md §0.4, §5.2).
+Identical (doc_id, rank), scores to 1e-9, tie-break (score DESC, doc_id
+ASC) pinned."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from oculus_crawl_spark.functions import bm25
+from oculus_crawl_spark.functions.analysis import tokenize
+from oculus_crawl_spark.operators.query import search, search_bruteforce
+
+from .conftest import SF0001
+
+
+def numpy_oracle(docs: pd.DataFrame, query: str, k: int) -> list[tuple[int, float]]:
+    """Exhaustive BM25 — an implementation deliberately independent of the
+    engine's posting/codec machinery (Counter-based)."""
+    toks = docs["text"].map(tokenize)
+    dl = toks.map(len).to_numpy(dtype=np.float64)
+    n = len(docs)
+    avgdl = dl.mean()
+    tfs = [Counter(t) for t in toks]
+    dfc: Counter = Counter()
+    for c in tfs:
+        dfc.update(c.keys())
+    scores = np.zeros(n)
+    for t in sorted(set(tokenize(query))):
+        if t not in dfc:
+            continue
+        idf = float(bm25.idf(n, np.array([dfc[t]]))[0])
+        tf = np.array([c.get(t, 0) for c in tfs], dtype=np.float64)
+        scores += np.where(tf > 0, idf * bm25.tf_norm(tf, dl, avgdl), 0.0)
+    mask = scores > 0
+    ids = docs["doc_id"].to_numpy()[mask]
+    sc = scores[mask]
+    order = np.lexsort((ids, -sc))[:k]
+    return [(int(ids[i]), float(sc[i])) for i in order]
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF0001}/documents.parquet")
+
+
+def test_wand_rank_identical_to_numpy_oracle(spark, index_sf0001, query_set, docs_pdf):
+    k = query_set["k"]
+    queries = query_set["queries"]
+    got = (
+        search(spark, index_sf0001, queries, k=k)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    for qid, q in enumerate(queries):
+        expected = numpy_oracle(docs_pdf, q, k)
+        actual = got[got.query_id == qid][["doc_id", "score"]].values.tolist()
+        assert len(actual) == len(expected), q
+        for (ed, es), (ad, ascore) in zip(expected, actual):
+            assert ed == ad, (q, expected, actual)
+            assert abs(es - ascore) < 1e-9, (q, ed, es, ascore)
+
+
+def test_wand_rank_identical_to_duckdb_oracle(spark, index_sf0001, query_set):
+    k = query_set["k"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF0001}/documents.parquet')"
+    )
+    queries = query_set["queries"][:8]  # singletons + first mixes (speed)
+    got = (
+        search(spark, index_sf0001, queries, k=k)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    for qid, q in enumerate(queries):
+        terms = sorted(set(tokenize(q)))
+        if not terms:
+            continue
+        oracle = con.execute(bm25.bm25_oracle_sql(terms, k=k, round_dp=6)).fetchall()
+        actual = got[got.query_id == qid][["doc_id", "score"]].values.tolist()
+        assert len(actual) == len(oracle), q
+        for (ed, es), (ad, ascore) in zip(oracle, actual):
+            assert int(ed) == int(ad), (q, oracle, actual)
+            assert abs(float(es) - ascore) < 1e-6, (q, ed, es, ascore)
+
+
+def test_bruteforce_spark_path_agrees(spark, index_sf0001, query_set):
+    """The pure-DataFrame exhaustive path (no index, no Python UDF) must
+    produce the same ranking as the WAND path."""
+    queries = query_set["queries"][:10]
+    k = query_set["k"]
+    wand = (
+        search(spark, index_sf0001, queries, k=k).orderBy("query_id", "rank").toPandas()
+    )
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    bf = (
+        search_bruteforce(spark, docs, queries, k=k)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert wand[["query_id", "rank", "doc_id"]].values.tolist() == (
+        bf[["query_id", "rank", "doc_id"]].values.tolist()
+    )
+    assert float(np.abs(wand.score.values - bf.score.values).max()) < 1e-9
+
+
+def test_out_of_vocabulary_query_is_empty(spark, index_sf0001):
+    out = search(spark, index_sf0001, ["zzz"], k=10).collect()
+    assert out == []

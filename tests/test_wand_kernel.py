@@ -1,0 +1,99 @@
+"""Property test: the block-max WAND kernel == exhaustive BM25 on random
+mini-corpora (SURVEY.md §5.3), plus block-max soundness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oculus_crawl_spark.functions import bm25
+from oculus_crawl_spark.functions.codec import encode_doc_gaps, pfor_encode
+from oculus_crawl_spark.operators.query import _bmw_topk, _TermBlocks
+
+BLOCK = 4  # tiny blocks force multi-block lists and real skipping
+
+
+def make_term_blocks(
+    idf: float, docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> _TermBlocks:
+    rows = []
+    for start in range(0, len(docs), BLOCK):
+        d = docs[start : start + BLOCK]
+        t = tfs[start : start + BLOCK]
+        l = dls[start : start + BLOCK]
+        rows.append(
+            {
+                "first_doc": int(d[0]),
+                "last_doc": int(d[-1]),
+                "n_docs": len(d),
+                "block_max_tf_norm": float(
+                    bm25.tf_norm(t, l, _AVGDL).max()
+                ),
+                "doc_bytes": encode_doc_gaps(d.astype(np.uint64)),
+                "tf_bytes": pfor_encode(t.astype(np.uint64)),
+                "dl_bytes": pfor_encode(l.astype(np.uint64)),
+            }
+        )
+    return _TermBlocks(idf, pd.DataFrame(rows))
+
+
+_AVGDL = 10.0
+
+
+@st.composite
+def mini_corpus(draw):
+    n_docs = draw(st.integers(5, 120))
+    n_terms = draw(st.integers(1, 5))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    dls = rng.integers(1, 40, size=n_docs)
+    corpus = {}
+    for t in range(n_terms):
+        density = draw(st.floats(0.05, 1.0))
+        present = np.flatnonzero(rng.random(n_docs) < density)
+        if len(present) == 0:
+            present = np.array([rng.integers(0, n_docs)])
+        tfs = rng.integers(1, 8, size=len(present))
+        corpus[f"t{t}"] = (present.astype(np.int64), tfs.astype(np.int64))
+    return n_docs, dls.astype(np.int64), corpus
+
+
+@given(mini_corpus(), st.integers(1, 15))
+@settings(max_examples=150, deadline=None)
+def test_bmw_equals_exhaustive(data, k):
+    n_docs, dls, corpus = data
+    n_terms = len(corpus)
+    dfs = {t: len(docs) for t, (docs, _) in corpus.items()}
+
+    terms = []
+    scores = np.zeros(n_docs, dtype=np.float64)
+    for t, (docs, tfs) in corpus.items():
+        idf = float(bm25.idf(n_docs, np.array([dfs[t]]))[0])
+        terms.append(make_term_blocks(idf, docs, tfs, dls[docs]))
+        scores[docs] += idf * bm25.tf_norm(tfs, dls[docs], _AVGDL)
+
+    got_docs, got_scores = _bmw_topk(terms, k, _AVGDL)
+
+    mask = scores > 0
+    ids = np.flatnonzero(mask)
+    sc = scores[mask]
+    order = np.lexsort((ids, -sc))[:k]
+    exp_docs, exp_scores = ids[order], sc[order]
+
+    assert list(got_docs) == list(exp_docs), (n_terms, k)
+    assert np.allclose(got_scores, exp_scores, atol=1e-9)
+
+
+@given(mini_corpus())
+@settings(max_examples=100, deadline=None)
+def test_block_max_soundness(data):
+    """For every block: true max contribution <= idf * block_max_tf_norm."""
+    n_docs, dls, corpus = data
+    for t, (docs, tfs) in corpus.items():
+        idf = float(bm25.idf(n_docs, np.array([len(docs)]))[0])
+        tb = make_term_blocks(idf, docs, tfs, dls[docs])
+        for i in range(len(tb.first)):
+            bd, bt, bl = tb.decode(i)
+            true_max = (idf * bm25.tf_norm(bt, bl, _AVGDL)).max()
+            assert true_max <= tb.bmax[i] + 1e-12
