@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Builds the full inverted index (salted two-phase assembly -> PFor
+blocks) over the ``documents`` corpus at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, then
+runs the frozen reference query set (tests/queries.json) through the
+block-max WAND path, one query per timed run.
+
+Prints exactly ONE JSON line:
+
+  {"metric": "fulltext_index_build_plus_query_suite",
+   "value": <total sec>, "unit": "sec",
+   "queries": {"build_index": sec, "q01_dup": sec, ...},
+   "sf": 0.1,
+   "docs_per_sec": ..., "n_docs": ..., "query_p95_sec": ...}
+
+Extra keys (docs_per_sec, query_p95_sec, cores) are informational; the
+headline ``value`` is wall seconds for build + full query suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from oculus_crawl_spark.operators.build import build_index_from_documents
+    from oculus_crawl_spark.operators.query import search
+    from oculus_crawl_spark.session import get_spark
+
+    spark = get_spark(app_name="ocs_bench", master=f"local[{cpus}]")
+
+    with open(os.path.join(_HERE, "tests", "queries.json")) as f:
+        qset = json.load(f)
+    queries: list[str] = qset["queries"]
+    k: int = qset["k"]
+
+    # Warm the JVM/Python-worker pools so the build timing measures the
+    # pipeline, not process startup.
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="ocs_bench_idx_")
+    try:
+        t0 = time.monotonic()
+        result = build_index_from_documents(spark, sf_dir, root)
+        timings["build_index"] = round(time.monotonic() - t0, 4)
+
+        # One warm-up query (not timed): first search pays one-off
+        # planning/broadcast costs.
+        search(spark, root, [queries[0]], k=k).collect()
+
+        latencies: list[float] = []
+        for i, q in enumerate(queries):
+            slug = re.sub(r"[^a-z0-9]+", "_", q.lower()).strip("_")[:24]
+            t0 = time.monotonic()
+            search(spark, root, [q], k=k).collect()
+            dt = time.monotonic() - t0
+            timings[f"q{i + 1:02d}_{slug}"] = round(dt, 4)
+            latencies.append(dt)
+
+        latencies.sort()
+        p95 = latencies[min(len(latencies) - 1, int(0.95 * len(latencies)))]
+        total = sum(timings.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "fulltext_index_build_plus_query_suite",
+                    "value": round(total, 4),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_docs": result.n_docs,
+                    "docs_per_sec": round(result.docs_per_sec, 2),
+                    "query_p95_sec": round(p95, 4),
+                    "cores": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,10 @@ def ensure_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Runtime-settable; the driver-owned session defaults to 200 which
+    # wastes task overhead at sandbox scale (AQE coalesces, but the
+    # pre-AQE plan still plans 200 map tasks).
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> str:

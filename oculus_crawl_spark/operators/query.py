@@ -223,6 +223,118 @@ _WAND_SCHEMA = (
 )
 
 
+class SearchSession:
+    """A resident query tier over one built index.
+
+    Loads ``corpus_stats`` once and — when the vocabulary is small enough
+    to be driver-resident (the common case for a serving tier; bounded by
+    ``max_resident_terms``) — the dictionary once, so each query batch
+    issues exactly ONE Spark job: pruned segments scan -> broadcast join
+    -> per-range WAND -> global top-k. For huge vocabularies the lookup
+    falls back to a per-batch broadcast semi-join against the dictionary
+    table (predicate-pruned parquet scan)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        cfg: IndexConfig = DEFAULT,
+        max_resident_terms: int = 2_000_000,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.paths = IndexPaths(index_root)
+        stats = spark.read.parquet(self.paths.corpus_stats).collect()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self._dictionary = spark.read.parquet(self.paths.dictionary)
+        self._segments = spark.read.parquet(self.paths.segments)
+        self._resident: dict[str, tuple[int, int]] | None = None
+        if self._dictionary.count() <= max_resident_terms:
+            self._resident = {
+                r["term"]: (int(r["df"]), int(r["term_bucket"]))
+                for r in self._dictionary.select(
+                    "term", "df", "term_bucket"
+                ).collect()
+            }
+
+    def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        if self._resident is not None:
+            return {t: self._resident[t] for t in terms if t in self._resident}
+        terms_df = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        rows = (
+            self._dictionary.join(F.broadcast(terms_df), "term", "inner")
+            .select("term", "df", "term_bucket")
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["term_bucket"])) for r in rows}
+
+    def search(
+        self,
+        queries: list[str] | list[list[str]],
+        k: int = 10,
+        with_metrics: bool = False,
+    ) -> DataFrame:
+        spark = self.spark
+
+        # Q1: tokenize queries with the SAME frozen analyzer as the corpus.
+        qterms: list[tuple[int, str]] = []
+        for qid, q in enumerate(queries):
+            toks = (
+                tokenize(q)
+                if isinstance(q, str)
+                else [t for s in q for t in tokenize(s)]
+            )
+            qterms.extend((qid, t) for t in sorted(set(toks)))
+
+        empty = spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+        if not qterms:
+            return empty
+
+        # Q2: dictionary lookup (resident map or pruned semi-join).
+        info = self._lookup(sorted({t for _, t in qterms}))
+        if not info:
+            return empty
+        buckets = sorted({tb for _, tb in info.values()})
+
+        # idf per (query, term), computed once driver-side (tiny).
+        qrows = [
+            (qid, t, float(bm25.idf(self.n_docs, np.array([info[t][0]]))[0]))
+            for qid, t in qterms
+            if t in info
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id int, term string, idf double")
+
+        # Q3: partition-pruned scan (term_bucket IN literal list) +
+        # broadcast join — never a shuffle of the segments side.
+        segments = self._segments.filter(F.col("term_bucket").isin(buckets))
+        cand = segments.join(F.broadcast(qdf), "term", "inner")
+
+        # Q4/Q5: one exact BMW per (query, range) — the document-
+        # partitioned fan-out; each group sees only its range's blocks.
+        per_range = cand.groupBy("query_id", "range_bucket").applyInPandas(
+            _wand_factory(k, self.avgdl), _WAND_SCHEMA
+        )
+
+        # Q6/Q7: global merge of per-range top-k (<= ranges*k tiny rows).
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        out_cols = ["query_id", "rank", "doc_id", "score"]
+        if with_metrics:
+            out_cols += ["blocks_total", "blocks_decoded"]
+        return (
+            per_range.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*out_cols)
+        )
+
+
+_SESSION_CACHE: dict[str, SearchSession] = {}
+
+
 def search(
     spark: SparkSession,
     index_root: str,
@@ -234,74 +346,13 @@ def search(
     """BM25 top-k for a batch of queries against a built index.
 
     Returns DataFrame(query_id, rank, doc_id, score) — rank-identical to
-    the exhaustive oracle (pinned tie-break score DESC, doc_id ASC)."""
-    paths = IndexPaths(index_root)
-
-    # Q1: tokenize queries with the SAME frozen analyzer as the corpus.
-    qterms: list[tuple[int, str]] = []
-    for qid, q in enumerate(queries):
-        toks = tokenize(q) if isinstance(q, str) else [t for s in q for t in tokenize(s)]
-        qterms.extend((qid, t) for t in sorted(set(toks)))
-
-    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-
-    empty = spark.createDataFrame(
-        [], "query_id int, rank int, doc_id long, score double"
-    )
-    if not qterms:
-        return empty
-
-    # Q2: dictionary lookup — semi-join the (tiny) term list, collect df.
-    terms_df = spark.createDataFrame(
-        [(t,) for t in sorted({t for _, t in qterms})], "term string"
-    )
-    dict_rows = (
-        spark.read.parquet(paths.dictionary)
-        .join(F.broadcast(terms_df), "term", "inner")
-        .select("term", "df", "term_bucket")
-        .collect()
-    )
-    if not dict_rows:
-        return empty
-    df_by_term = {r["term"]: int(r["df"]) for r in dict_rows}
-    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
-
-    # idf per (query, term), computed once driver-side (tiny).
-    qrows = [
-        (qid, t, float(bm25.idf(n_docs, np.array([df_by_term[t]]))[0]))
-        for qid, t in qterms
-        if t in df_by_term
-    ]
-    if not qrows:
-        return empty
-    qdf = spark.createDataFrame(qrows, "query_id int, term string, idf double")
-
-    # Q3: partition-pruned scan (term_bucket IN literal list) + broadcast
-    # join — never a shuffle of the segments side.
-    segments = spark.read.parquet(paths.segments).filter(
-        F.col("term_bucket").isin(buckets)
-    )
-    cand = segments.join(F.broadcast(qdf), "term", "inner")
-
-    # Q4/Q5: one exact BMW per (query, range) — the document-partitioned
-    # fan-out; each group sees only its range's blocks.
-    per_range = cand.groupBy("query_id", "range_bucket").applyInPandas(
-        _wand_factory(k, avgdl), _WAND_SCHEMA
-    )
-
-    # Q6/Q7: global merge of per-range top-k (<= ranges*k tiny rows).
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    out_cols = ["query_id", "rank", "doc_id", "score"]
-    if with_metrics:
-        out_cols += ["blocks_total", "blocks_decoded"]
-    return (
-        per_range.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(*out_cols)
-    )
+    the exhaustive oracle (pinned tie-break score DESC, doc_id ASC).
+    Thin wrapper over a cached ``SearchSession`` per index root."""
+    sess = _SESSION_CACHE.get(index_root)
+    if sess is None or sess.spark is not spark:
+        sess = SearchSession(spark, index_root, cfg)
+        _SESSION_CACHE[index_root] = sess
+    return sess.search(queries, k=k, with_metrics=with_metrics)
 
 
 def search_bruteforce(
