@@ -46,6 +46,38 @@ def get_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+_MERGED_CACHE: dict[str, str] = {}
+
+
+def get_merged_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two disjoint half-corpus epochs merged by the E14 resumable merge
+    — searching it must be rank-identical to the full-corpus oracle."""
+    ensure_conf(spark)
+    root = _MERGED_CACHE.get(sf_dir)
+    if root is None:
+        from .build import build_index
+        from .merge import merge_indexes
+
+        tmp = tempfile.mkdtemp(prefix="ocs_merged_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        build_index(docs.filter(F.col("doc_id") % 2 == 0), f"{tmp}/ep0", epoch=0)
+        build_index(docs.filter(F.col("doc_id") % 2 == 1), f"{tmp}/ep1", epoch=1)
+        merge_indexes(spark, [f"{tmp}/ep0", f"{tmp}/ep1"], f"{tmp}/merged")
+        root = f"{tmp}/merged"
+        _MERGED_CACHE[sf_dir] = root
+    return root
+
+
+def _merged(query: str, k: int = 10):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        root = get_merged_index(spark, sf_dir)
+        return _rerank_rounded(search(spark, root, [query], k=k))
+
+    return fn
+
+
 _DP = 8  # rounding precision for cross-engine score comparison
 
 
@@ -149,6 +181,7 @@ def queries() -> dict:
         "bm25_topk_three_terms": _indexed("dup column spark"),
         "bm25_topk_all_hot": _indexed("scan column window"),
         "bm25_bruteforce_dataframe": _bruteforce("spark customer"),
+        "bm25_topk_merged_epochs": _merged("dup scan column"),
         "fulltext_term_dictionary": _term_dictionary,
         "fulltext_doc_lengths": _doc_lengths,
         "fulltext_corpus_stats": _corpus_stats,
@@ -163,6 +196,7 @@ def oracle_sql() -> dict:
         "bm25_topk_three_terms": _oracle("dup column spark"),
         "bm25_topk_all_hot": _oracle("scan column window"),
         "bm25_bruteforce_dataframe": _oracle("spark customer"),
+        "bm25_topk_merged_epochs": _oracle("dup scan column"),
         "fulltext_term_dictionary": _TERM_DICT_SQL,
         "fulltext_doc_lengths": _DOCLEN_SQL,
         "fulltext_corpus_stats": _CORPUS_STATS_SQL,

