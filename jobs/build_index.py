@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""spark-submit entry: build one index epoch.
+
+  spark-submit --py-files oculus_crawl_spark.zip jobs/build_index.py \
+      --pages /warehouse/pages --index-root /warehouse/index \
+      --epoch 3 --langs en,de
+
+On a cluster, master/executors come from spark-submit; add
+  --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>
+plus the catalog confs to write Iceberg instead of raw parquet
+(sources/tables.py shim switches automatically).
+
+``--pages`` expects the Common-Crawl-style schema (url, warc_ts,
+html, lang) per BASELINE.json input_hint; ``--documents`` expects an
+already-extracted (doc_id, text) table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages table path (url, warc_ts, html, lang)")
+    src.add_argument("--documents", help="documents table path (doc_id, text)")
+    ap.add_argument("--index-root", required=True)
+    ap.add_argument("--epoch", type=int, default=0)
+    ap.add_argument("--langs", help="comma-separated lang allowlist")
+    args = ap.parse_args()
+
+    from oculus_crawl_spark.operators.build import (
+        build_index,
+        build_index_from_pages,
+    )
+    from oculus_crawl_spark.session import get_spark
+
+    spark = get_spark(app_name="ocs_build_index")
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+        result = build_index_from_pages(
+            pages,
+            args.index_root,
+            epoch=args.epoch,
+            langs=args.langs.split(",") if args.langs else None,
+        )
+    else:
+        docs = spark.read.parquet(args.documents).select("doc_id", "text")
+        result = build_index(docs, args.index_root, epoch=args.epoch)
+    print(
+        json.dumps(
+            {
+                "n_docs": result.n_docs,
+                "avgdl": round(result.avgdl, 4),
+                "wall_sec": round(result.wall_sec, 2),
+                "docs_per_sec": round(result.docs_per_sec, 1),
+                "index_root": args.index_root,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,14 @@ class IndexConfig:
     # atomically, so a crash loses at most one wave.
     merge_waves: int = 4
 
+    # Tokenizer execution path. The frozen spec (functions/analysis.py)
+    # has two exactly-equivalent-for-ASCII implementations: the
+    # whole-stage-codegen column expression (zero Python — measured 4-5x
+    # faster and linearly scaling where the Arrow UDF path bottlenecks
+    # on Python workers) and the Arrow pandas UDF (NFC+casefold, needed
+    # for non-Latin corpora). Default: JVM path; flip for non-ASCII.
+    use_jvm_tokenizer: bool = True
+
     # Frozen analysis-chain version, recorded in corpus_stats so an index
     # built with a different extractor/tokenizer is never silently mixed.
     analysis_version: str = "1"

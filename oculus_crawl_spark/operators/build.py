@@ -134,18 +134,20 @@ def prepare_pages(
     )
 
 
-def assign_doc_ids(prepared: DataFrame, n_partitions: int = 32) -> DataFrame:
-    """Dense deterministic 64-bit docIDs (SURVEY §7.4).
-
-    hash64(url) collides at 10^12 docs (~27k birthday collisions), so IDs
-    are dense: range-partition by url, count per partition, exclusive-scan
-    the (tiny, one row per partition) counts on the driver, then add the
-    partition offset to a within-partition running count. No global sort;
-    one extra narrow pass. Deterministic for a fixed url set and
-    n_partitions (Spark's range sampler is deterministically seeded);
-    changing n_partitions renumbers — pin it per index generation."""
-    parted = prepared.repartitionByRange(n_partitions, "url").sortWithinPartitions(
-        "url"
+def assign_dense_ids(
+    df: DataFrame, key_col: str, id_col: str, n_partitions: int = 32
+) -> DataFrame:
+    """Dense deterministic 64-bit IDs for a unique key column (SURVEY
+    §7.4). hash64(key) collides at scale (~27k birthday collisions at
+    10^12 keys), so IDs are dense: range-partition by key, count per
+    partition, exclusive-scan the (tiny, one row per partition) counts
+    on the driver, then add the partition offset to a within-partition
+    running count. No global sort; one extra narrow pass. Deterministic
+    for a fixed key set and n_partitions (Spark's range sampler is
+    deterministically seeded); changing n_partitions renumbers — pin it
+    per index generation."""
+    parted = df.repartitionByRange(n_partitions, key_col).sortWithinPartitions(
+        key_col
     )
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     counts = {
@@ -163,24 +165,60 @@ def assign_doc_ids(prepared: DataFrame, n_partitions: int = 32) -> DataFrame:
         for pdf in batches:
             base = offsets[int(pdf["_pid"].iloc[0])] + seen
             seen += len(pdf)
-            pdf = pdf.assign(doc_id=np.arange(base, base + len(pdf), dtype=np.int64))
+            pdf = pdf.assign(**{id_col: np.arange(base, base + len(pdf), dtype=np.int64)})
             yield pdf.drop(columns=["_pid"])
 
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in prepared.schema.fields
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    return with_pid.mapInPandas(_number, schema=out_schema + ", doc_id long")
+    return with_pid.mapInPandas(_number, schema=out_schema + f", {id_col} long")
+
+
+def assign_doc_ids(prepared: DataFrame, n_partitions: int = 32) -> DataFrame:
+    """Dense deterministic docIDs keyed by url (see assign_dense_ids)."""
+    return assign_dense_ids(prepared, "url", "doc_id", n_partitions)
+
+
+def term_dimension(postings_raw: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
+    """(term) -> (term, term_id, term_bucket): dense numeric term IDs +
+    the FNV partition bucket. Vocabulary-sized (≪ postings); the bucket
+    UDF runs over vocab rows only. The posting pipeline then moves ONLY
+    numeric columns through Arrow — converting 10^7+ string cells per
+    partition to Python objects measured ~10x slower than the numeric
+    transfer, so strings are re-attached at block level, never carried
+    per posting."""
+    n_buckets = cfg.n_term_buckets
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _term_bucket_py(t, n_buckets))
+
+    vocab = postings_raw.select("term").distinct()
+    return assign_dense_ids(vocab, "term", "term_id").withColumn(
+        "term_bucket", bucket_udf("term")
+    )
 
 
 # --- E3/E4/E5: tokenize, doc length, tf triples ------------------------------
 
 
-def tokenize_corpus(corpus: DataFrame) -> DataFrame:
-    """(doc_id, text, ...) -> (doc_id, tokens, dl)."""
-    return corpus.select(
-        "doc_id",
-        tokenize_udf("text").alias("tokens"),
-    ).withColumn("dl", F.size("tokens").cast("int"))
+def tokenize_corpus(corpus: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, tokens, dl).
+
+    Default path is the codegen'd column-expression tokenizer (identical
+    to the frozen spec for ASCII; zero Python in the scan stage — see
+    IndexConfig.use_jvm_tokenizer). The Arrow UDF path carries the full
+    NFC+casefold spec for non-Latin corpora."""
+    from ..functions.analysis import tokenize_expr
+
+    tok = (
+        tokenize_expr(F.col("text"))
+        if cfg.use_jvm_tokenizer
+        else tokenize_udf("text")
+    )
+    return corpus.select("doc_id", tok.alias("tokens")).withColumn(
+        "dl", F.size("tokens").cast("int")
+    )
 
 
 def term_frequencies(tokenized: DataFrame) -> DataFrame:
@@ -198,95 +236,163 @@ def term_frequencies(tokenized: DataFrame) -> DataFrame:
 
 
 # --- E7: salted two-phase posting assembly -> compressed blocks --------------
+#
+# Both phases keep the mandated shuffle structure — phase 1 exchanges on
+# (term, range_bucket, salt), phase 2 on (term, range_bucket) — but are
+# executed as repartition + sortWithinPartitions + mapInPandas rather
+# than groupBy().applyInPandas: one Arrow stream per PARTITION (many
+# groups), with group boundaries found vectorized. Measured ~12 ms of
+# per-group Arrow/pandas overhead in FlatMapGroupsInPandas vs ~2 ms of
+# actual kernel work — at 10^12 docs the group count is ~1e9, so
+# per-group framework overhead is the difference between feasible and
+# not. Memory bound: one shuffle partition buffered per worker (sized by
+# spark.sql.shuffle.partitions exactly like any sort-based stage).
 
 _RUNS_SCHEMA = (
-    "term string, range_bucket long, salt int, n_docs int, first_doc long, "
+    "term_id long, range_bucket long, salt int, n_docs int, first_doc long, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary"
 )
 
-
-def _make_run(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Phase 1: one (term, range_bucket, salt) group -> one compressed,
-    docID-sorted run. Runs are compressed BEFORE the phase-2 shuffle."""
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    docs = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-    dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "range_bucket": [pdf["range_bucket"].iloc[0]],
-            "salt": [np.int32(pdf["salt"].iloc[0])],
-            "n_docs": [np.int32(len(docs))],
-            "first_doc": [np.int64(docs[0])],
-            "doc_bytes": [encode_doc_gaps(docs)],
-            "tf_bytes": [pfor_encode(tfs)],
-            "dl_bytes": [pfor_encode(dls)],
-        }
-    )
+_BLOCKS_SCHEMA = (
+    "term_id long, range_bucket long, block_id int, first_doc long, "
+    "last_doc long, n_docs int, sum_tf long, block_max_tf_norm float, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, epoch long"
+)
 
 
-def _merge_runs_factory(avgdl: float, epoch: int, cfg: IndexConfig):
-    """Phase 2: merge <= S compressed runs of one (term, range_bucket) into
-    final fixed-size blocks with per-block max-score statistics (E7c/d/e)."""
+def _group_slices(*keys: np.ndarray):
+    """Boundaries of equal-key runs over pre-sorted key arrays."""
+    n = len(keys[0])
+    if n == 0:
+        return
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    yield from zip(starts, ends)
+
+
+def _encode_runs_partition(batches) -> "pd.DataFrame":
+    """Phase-1 kernel: a whole shuffle partition of postings, sorted by
+    (term_id, range_bucket, salt, doc_id) -> one compressed run per
+    (term_id, range_bucket, salt) group. All-numeric input: the Arrow
+    crossing is zero-copy into NumPy."""
+    parts = [p for p in batches]
+    if not parts:
+        return
+    pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+    tids = pdf["term_id"].to_numpy()
+    rbs = pdf["range_bucket"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    docs = pdf["doc_id"].to_numpy().astype(np.uint64)
+    tfs = pdf["tf"].to_numpy().astype(np.uint64)
+    dls = pdf["dl"].to_numpy().astype(np.uint64)
+    out = {k: [] for k in (
+        "term_id", "range_bucket", "salt", "n_docs", "first_doc",
+        "doc_bytes", "tf_bytes", "dl_bytes",
+    )}
+    for s, e in _group_slices(tids, rbs, salts):
+        d = docs[s:e]  # already doc_id-sorted within the group
+        out["term_id"].append(tids[s])
+        out["range_bucket"].append(rbs[s])
+        out["salt"].append(salts[s])
+        out["n_docs"].append(e - s)
+        out["first_doc"].append(np.int64(d[0]))
+        out["doc_bytes"].append(encode_doc_gaps(d))
+        out["tf_bytes"].append(pfor_encode(tfs[s:e]))
+        out["dl_bytes"].append(pfor_encode(dls[s:e]))
+    res = pd.DataFrame(out)
+    res["salt"] = res["salt"].astype(np.int32)
+    res["n_docs"] = res["n_docs"].astype(np.int32)
+    yield res
+
+
+def _merge_runs_partition_factory(avgdl: float, epoch: int, cfg: IndexConfig):
+    """Phase-2 kernel: a whole shuffle partition of runs, sorted by
+    (term_id, range_bucket) -> final fixed-size blocks with per-block
+    max-score statistics (E7c/d/e). Input rows are compressed runs
+    (<= S per group), never raw postings."""
     bs = cfg.block_size
-    n_buckets = cfg.n_term_buckets
 
-    def merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
-        docs_parts, tf_parts, dl_parts = [], [], []
-        for row in pdf.itertuples(index=False):  # <= S rows (runs), not postings
-            docs_parts.append(decode_doc_ids(row.first_doc, row.doc_bytes, row.n_docs))
-            tf_parts.append(pfor_decode(row.tf_bytes))
-            dl_parts.append(pfor_decode(row.dl_bytes))
-        docs = np.concatenate(docs_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
-        order = np.argsort(docs, kind="stable")  # docs unique across salts
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
+    def merge_partition(batches):
+        parts = [p for p in batches]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        tids = pdf["term_id"].to_numpy()
+        rbs = pdf["range_bucket"].to_numpy()
+        out = {k: [] for k in (
+            "term_id", "range_bucket", "block_id", "first_doc",
+            "last_doc", "n_docs", "sum_tf", "block_max_tf_norm",
+            "doc_bytes", "tf_bytes", "dl_bytes", "epoch",
+        )}
+        for s, e in _group_slices(tids, rbs):
+            g = pdf.iloc[s:e]
+            docs = np.concatenate([
+                decode_doc_ids(fd, db, nd)
+                for fd, db, nd in zip(g["first_doc"], g["doc_bytes"], g["n_docs"])
+            ])
+            tfs = np.concatenate([pfor_decode(b) for b in g["tf_bytes"]])
+            dls = np.concatenate([pfor_decode(b) for b in g["dl_bytes"]])
+            order = np.argsort(docs, kind="stable")  # docs unique across salts
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            tf_norms = bm25.tf_norm(tfs, dls, avgdl)
+            for bid, start in enumerate(range(0, len(docs), bs)):
+                d = docs[start : start + bs]
+                t = tfs[start : start + bs]
+                out["term_id"].append(tids[s])
+                out["range_bucket"].append(rbs[s])
+                out["block_id"].append(bid)
+                out["first_doc"].append(np.int64(d[0]))
+                out["last_doc"].append(np.int64(d[-1]))
+                out["n_docs"].append(len(d))
+                out["sum_tf"].append(int(t.sum()))
+                out["block_max_tf_norm"].append(
+                    np.float32(tf_norms[start : start + bs].max())
+                )
+                out["doc_bytes"].append(encode_doc_gaps(d))
+                out["tf_bytes"].append(pfor_encode(t))
+                out["dl_bytes"].append(pfor_encode(dls[start : start + bs]))
+                out["epoch"].append(epoch)
+        res = pd.DataFrame(out)
+        res["block_id"] = res["block_id"].astype(np.int32)
+        res["n_docs"] = res["n_docs"].astype(np.int32)
+        res["block_max_tf_norm"] = res["block_max_tf_norm"].astype(np.float32)
+        yield res
 
-        term = pdf["term"].iloc[0]
-        rb = int(pdf["range_bucket"].iloc[0])
-        tb = _term_bucket_py(term, n_buckets)
-        tf_norms = bm25.tf_norm(tfs, dls, avgdl)
-
-        rows = []
-        for bid, start in enumerate(range(0, len(docs), bs)):
-            d = docs[start : start + bs]
-            t = tfs[start : start + bs]
-            rows.append(
-                {
-                    "term": term,
-                    "term_bucket": tb,
-                    "range_bucket": rb,
-                    "block_id": bid,
-                    "first_doc": np.int64(d[0]),
-                    "last_doc": np.int64(d[-1]),
-                    "n_docs": np.int32(len(d)),
-                    "sum_tf": np.int64(t.sum()),
-                    "block_max_tf_norm": np.float32(tf_norms[start : start + bs].max()),
-                    "doc_bytes": encode_doc_gaps(d),
-                    "tf_bytes": pfor_encode(t),
-                    "dl_bytes": pfor_encode(dls[start : start + bs]),
-                    "epoch": np.int64(epoch),
-                }
-            )
-        return pd.DataFrame(rows)
-
-    return merge_runs
+    return merge_partition
 
 
 def build_segments(
-    postings: DataFrame, avgdl: float, epoch: int, cfg: IndexConfig = DEFAULT
+    postings: DataFrame,
+    terms_dim: DataFrame,
+    avgdl: float,
+    epoch: int,
+    cfg: IndexConfig = DEFAULT,
 ) -> DataFrame:
-    """(term, doc_id, tf, dl) -> compressed segments DataFrame (lazy)."""
+    """(term_id, doc_id, tf, dl) + terms_dim -> segments DataFrame (lazy).
+
+    The two mandated shuffles — (term, salt) then (term) — run on the
+    NUMERIC term_id; the term string and its partition bucket are joined
+    back at BLOCK granularity (blocks ≈ postings/128, and the join is
+    JVM-side; AQE broadcasts terms_dim when it is small)."""
     salted = postings.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salts)).cast("int")
     ).withColumn("range_bucket", F.shiftright("doc_id", cfg.range_bits).cast("long"))
-    runs = salted.groupBy("term", "range_bucket", "salt").applyInPandas(
-        _make_run, _RUNS_SCHEMA
+    runs = (
+        salted.repartition("term_id", "range_bucket", "salt")
+        .sortWithinPartitions("term_id", "range_bucket", "salt", "doc_id")
+        .mapInPandas(_encode_runs_partition, _RUNS_SCHEMA)
     )
-    return runs.groupBy("term", "range_bucket").applyInPandas(
-        _merge_runs_factory(avgdl, epoch, cfg), schemas.SEGMENTS
+    blocks = (
+        runs.repartition("term_id", "range_bucket")
+        .sortWithinPartitions("term_id", "range_bucket")
+        .mapInPandas(_merge_runs_partition_factory(avgdl, epoch, cfg), _BLOCKS_SCHEMA)
+    )
+    return blocks.join(terms_dim, "term_id").select(
+        *[f.name for f in schemas.SEGMENTS.fields]
     )
 
 
@@ -317,8 +423,19 @@ def build_index(
     t0 = time.monotonic()
 
     # ONE pass over the corpus: extract/tokenize UDFs run once, the
-    # reduced (term, doc, tf, dl) triples are the materialization point.
-    postings = term_frequencies(tokenize_corpus(corpus)).persist()
+    # reduced triples are the materialization point. Term strings are
+    # swapped for dense numeric term_ids BEFORE the salted shuffles so
+    # the Arrow crossings move only fixed-width columns (term_dimension
+    # docstring has the measurement).
+    postings_raw = term_frequencies(tokenize_corpus(corpus, cfg)).persist()
+    terms_dim = term_dimension(postings_raw, cfg).persist()
+    postings = (
+        postings_raw.join(terms_dim.select("term", "term_id"), "term")
+        .select("term_id", "doc_id", "tf", "dl")
+        .persist()
+    )
+    postings.count()  # materialize, then free the string-keyed triples
+    postings_raw.unpersist()
 
     # E4/E8: doc lengths + corpus stats (dl rides on the postings rows).
     doclen = postings.groupBy("doc_id").agg(F.max("dl").cast("int").alias("dl"))
@@ -329,12 +446,15 @@ def build_index(
 
     # E7: salted two-phase assembly -> compressed blocks, written
     # partitioned by term_bucket (query-time partition pruning, Q3).
-    segments = build_segments(postings, avgdl, epoch, cfg)
+    segments = build_segments(postings, terms_dim, avgdl, epoch, cfg)
     write_table(segments, paths.segments, partition_by=["term_bucket"])
 
     # E6/E10: dictionary + stats tables, derived from the COMMITTED
     # segments so they can never drift from the written index. df is
-    # exact (approx_count_distinct would break rank-stability).
+    # exact (approx_count_distinct would break rank-stability). The
+    # three independent writes are submitted from driver threads —
+    # Spark schedules concurrent jobs fine, and overlapping them hides
+    # their fixed per-job latency.
     seg = read_engine_table(spark, paths.segments)
     dictionary = (
         seg.groupBy("term", "term_bucket")
@@ -345,14 +465,22 @@ def build_index(
         )
         .select("term", "df", "cf", "n_blocks", "term_bucket")
     )
-    write_table(dictionary, paths.dictionary)
-    write_table(doclen, paths.doclen)
     stats_df = spark.createDataFrame(
         [(n_docs, avgdl, epoch, cfg.analysis_version)],
         schema=schemas.CORPUS_STATS,
     )
-    write_table(stats_df, paths.corpus_stats)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(write_table, dictionary, paths.dictionary),
+            pool.submit(write_table, doclen, paths.doclen),
+            pool.submit(write_table, stats_df, paths.corpus_stats),
+        ]
+        for f in futs:
+            f.result()
     postings.unpersist()
+    terms_dim.unpersist()
 
     wall = time.monotonic() - t0
 

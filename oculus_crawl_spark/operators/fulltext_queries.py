@@ -34,6 +34,9 @@ def ensure_conf(spark: SparkSession) -> None:
     # wastes task overhead at sandbox scale (AQE coalesces, but the
     # pre-AQE plan still plans 200 map tasks).
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Per-batch pandas-construction overhead dominates Arrow crossings
+    # at the 10k default (see session.py).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> str:

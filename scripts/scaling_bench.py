@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json:2,14 — ">=0.8 throughput
+scaling efficiency between N and 4N executors").
+
+No real cluster exists in this sandbox, so the evidence is the same
+index-build job at two parallelism levels on the SAME input:
+``local[N]`` vs ``local[4N]`` on the sf0.1 documents corpus
+deterministically replicated R times (doc_id shifted per replica —
+no external data). Each run is a fresh JVM (subprocess) so the two
+measurements share nothing; each config runs ``trials`` times and the
+BEST wall is kept (the host is shared — external load of ~9 cores was
+observed — and min-wall is the standard de-noising estimator).
+
+N defaults to 2 (4N=8) so both configs fit the free cores of the
+shared 32-core host; set N=8 for the 8->32 variant on an idle host.
+
+Writes BENCH.md and prints one JSON summary line.
+
+Usage: python scripts/scaling_bench.py [R] [N] [trials]
+       (defaults R=32, N=2, trials=2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+
+_RUN_ONE = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from oculus_crawl_spark.session import get_spark
+from oculus_crawl_spark.operators.build import build_index
+
+cores, rep = int(sys.argv[1]), int(sys.argv[2])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(
+    app_name=f"ocs_scaling_{{cores}}",
+    master=f"local[{{cores}}]",
+    shuffle_partitions=max(8, 2 * cores),  # scales with the "cluster", as deployed
+)
+docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    "doc_id", "text"
+)
+reps = spark.range(rep).select(F.col("id").alias("rep"))
+corpus = docs.crossJoin(reps).select(
+    (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+).repartition(max(cores * 2, 8))
+n_docs = corpus.count()  # warm-up + materialize the input definition
+root = tempfile.mkdtemp(prefix=f"ocs_scale_{{cores}}_")
+try:
+    t0 = time.monotonic()
+    result = build_index(corpus, root)
+    wall = time.monotonic() - t0
+    print(json.dumps({{"cores": cores, "n_docs": n_docs, "wall_sec": round(wall, 2),
+                       "docs_per_sec": round(n_docs / wall, 1)}}))
+finally:
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+"""
+
+
+def run_one(cores: int, rep: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _RUN_ONE.format(repo=_REPO), str(cores), str(rep)],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=_REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    best: dict[int, dict] = {}
+    for _ in range(trials):
+        for cores in (n, 4 * n):
+            r = run_one(cores, rep)
+            if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
+                best[cores] = r
+    r8, r32 = best[n], best[4 * n]
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    summary = {
+        "metric": f"index_build_scaling_efficiency_{n}_to_{4 * n}_cores",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "target": 0.8,
+        "input": f"{sf_dir}/documents.parquet x{rep}",
+        "n_docs": r8["n_docs"],
+        "trials": trials,
+        f"local{n}": r8,
+        f"local{4 * n}": r32,
+    }
+    print(json.dumps(summary))
+
+    with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — measured performance (sandbox)
+
+Hardware: 32-core Linux sandbox (SHARED — ~9 cores of external load
+observed while idle), single JVM (`local[k]`), 128 GiB.
+Input: `{sf_dir}/documents.parquet` replicated x{rep}
+({r8["n_docs"]:,} docs; deterministic doc_id shift per replica, no
+external data). Fresh JVM per measurement; best of {trials} trials
+per config (min-wall de-noises the shared host).
+
+## Scaling efficiency (N -> 4N evidence, BASELINE.json:2,14)
+
+No real cluster exists in this sandbox; per the task rule the two
+cluster sizes are evidenced as two parallelism levels of the identical
+job on identical input. N={n} is used so that BOTH configs fit within
+the host's free cores — at N=8, local[32] would contend with the
+external load and the measurement reflects the host, not the engine.
+
+| config | n_docs | wall (s) | docs/sec |
+|---|---|---|---|
+| local[{n}]  (N)  | {r8["n_docs"]:,} | {r8["wall_sec"]} | {r8["docs_per_sec"]:,} |
+| local[{4 * n}] (4N) | {r32["n_docs"]:,} | {r32["wall_sec"]} | {r32["docs_per_sec"]:,} |
+
+**Scaling efficiency = (tput_4N / tput_N) / 4 = {eff:.3f}** (target >= 0.8).
+
+## Query latency
+
+See `BENCH_r*.json` (driver-recorded): `bench.py` builds the sf0.1
+index and runs the frozen 25-query set through block-max WAND;
+`query_p95_sec` is the reported p95.
+
+Reproduce: `python scripts/scaling_bench.py {rep} {n} {trials}` and
+`python bench.py`.
+""")
+
+
+if __name__ == "__main__":
+    main()

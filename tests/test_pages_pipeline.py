@@ -1,0 +1,129 @@
+"""End-to-end pages pipeline (the north-rule input shape, BASELINE.json
+input_hint): pages(url, warc_ts, html, lang) -> filter -> latest-per-url
+dedup -> byte-identical Arrow extraction -> dense docIDs -> index ->
+search, compared against the direct documents-corpus build via the
+docmap url mapping."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oculus_crawl_spark import schemas
+from oculus_crawl_spark.functions.analysis import extract_text, wrap_html
+from oculus_crawl_spark.operators.build import (
+    assign_doc_ids,
+    build_index_from_pages,
+    prepare_pages,
+)
+from oculus_crawl_spark.operators.query import SearchSession
+
+from .conftest import SF0001
+
+_T0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _pages_df(spark, with_dups=True):
+    """Deterministic Common-Crawl-shaped pages from the documents corpus
+    (FIXTURES.md B1: extract(wrap(text)) == text byte-identically).
+    When with_dups, every 10th url also has an OLDER, different-content
+    snapshot that dedup must drop."""
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    ).collect()
+    rows = []
+    for r in docs:
+        url = f"https://example.org/doc/{r['doc_id']}"
+        ts = _T0 + dt.timedelta(minutes=int(r["doc_id"]))
+        rows.append((url, ts, wrap_html(r["text"], r["doc_id"]), None, r["lang"]))
+        if with_dups and r["doc_id"] % 10 == 0:
+            rows.append(
+                (
+                    url,
+                    ts - dt.timedelta(days=1),
+                    wrap_html("stale old content", r["doc_id"]),
+                    None,
+                    r["lang"],
+                )
+            )
+    return spark.createDataFrame(rows, schemas.PAGES)
+
+
+def test_prepare_pages_dedups_and_extracts_byte_identically(spark):
+    pages = _pages_df(spark)
+    prepared = prepare_pages(pages).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF0001}/documents.parquet").collect()
+    }
+    assert len(prepared) == len(docs)  # stale snapshots dropped
+    for r in prepared:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        assert r["text"] == docs[doc_id]  # byte-identical per url
+
+
+def test_prepare_pages_lang_filter(spark):
+    pages = _pages_df(spark, with_dups=False)
+    en = prepare_pages(pages, langs=["en"])
+    n_en = (
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    assert en.count() == n_en
+
+
+def test_assign_doc_ids_dense_and_deterministic(spark):
+    pages = _pages_df(spark, with_dups=False)
+    prepared = prepare_pages(pages)
+    a = assign_doc_ids(prepared).select("url", "doc_id").collect()
+    b = assign_doc_ids(prepared).select("url", "doc_id").collect()
+    ids_a = sorted(r["doc_id"] for r in a)
+    assert ids_a == list(range(len(a)))  # dense 0..n-1
+    assert {(r["url"], r["doc_id"]) for r in a} == {
+        (r["url"], r["doc_id"]) for r in b
+    }  # deterministic
+
+
+def test_pages_build_matches_documents_build(spark, index_sf0001, query_set):
+    """Search over the pages-built index returns the SAME urls and scores
+    as the documents-built index (ids differ — dense reassignment — so
+    compare via docmap)."""
+    root = tempfile.mkdtemp(prefix="ocs_pages_idx_")
+    try:
+        build_index_from_pages(_pages_df(spark), root)
+        docmap = {
+            r["doc_id"]: int(r["url"].rsplit("/", 1)[1])
+            for r in spark.read.parquet(f"{root}/docmap").collect()
+        }
+        queries = query_set["queries"][:8]
+        got = SearchSession(spark, root).search(queries, k=10).collect()
+        want = SearchSession(spark, index_sf0001).search(queries, k=10).collect()
+        # Dense reassignment permutes doc_ids, so exact-score TIES at the
+        # k boundary may resolve to different (equally correct) docs.
+        # Invariants: identical score multiset per query, and identical
+        # doc mapping wherever the score is unique within its query.
+        got_scores = sorted((r["query_id"], round(r["score"], 9)) for r in got)
+        want_scores = sorted((r["query_id"], round(r["score"], 9)) for r in want)
+        assert got_scores == want_scores
+        from collections import Counter
+
+        freq = Counter(got_scores)
+        got_uni = {
+            (r["query_id"], round(r["score"], 9)): docmap[r["doc_id"]]
+            for r in got
+            if freq[(r["query_id"], round(r["score"], 9))] == 1
+        }
+        want_uni = {
+            (r["query_id"], round(r["score"], 9)): r["doc_id"]
+            for r in want
+            if freq[(r["query_id"], round(r["score"], 9))] == 1
+        }
+        assert got_uni == want_uni
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
