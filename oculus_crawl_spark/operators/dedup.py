@@ -25,10 +25,11 @@ Four dedup families over the ``documents`` corpus, each Spark-first:
 Scale notes (10^12 docs): every path is shuffle-bounded — the exact
 path's common-shingle join is the heavy one (AQE skew-join splits hot
 shingles); MinHash replaces it with a 32x-fanout band shuffle of fixed
-16-byte keys, the standard web-scale choice; band buckets are the unit
-of parallelism and hot buckets are bounded by cap_bucket (candidates in
-an over-full bucket pair only against the bucket minimum — documented
-recall caveat, disabled by default).
+8-byte keys, the standard web-scale choice. A band bucket holding m
+near-identical docs yields m^2 candidate pairs — the known quadratic
+hot-bucket risk; AQE skew-join splitting covers the join itself, and
+the exact-verify stage bounds false positives to one Jaccard check per
+candidate.
 
 Determinism: shingle/token hashing uses pandas' SipHash
 (``pd.util.hash_array`` with its fixed default key) — stable across
