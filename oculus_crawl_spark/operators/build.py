@@ -142,14 +142,17 @@ def assign_dense_ids(
     10^12 keys), so IDs are dense: range-partition by key, count per
     partition, exclusive-scan the (tiny, one row per partition) counts
     on the driver, then add the partition offset to a within-partition
-    running count. No global sort; one extra narrow pass. Deterministic
-    for a fixed key set and n_partitions (Spark's range sampler is
-    deterministically seeded); changing n_partitions renumbers — pin it
-    per index generation."""
-    parted = df.repartitionByRange(n_partitions, key_col).sortWithinPartitions(
-        key_col
+    running count. The bucket id is DERIVED FROM THE DATA
+    (pmod(xxhash64(key), n)) rather than from spark_partition_id():
+    physical partition ids are not stable across jobs — Catalyst can
+    collapse a user repartition into an ENSURE_REQUIREMENTS exchange
+    that AQE then coalesces — while a data-derived bucket is immune to
+    any re-planning. Deterministic for a fixed key set and
+    n_partitions; changing n_partitions renumbers — pin it per index
+    generation."""
+    with_pid = df.withColumn(
+        "_pid", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
     )
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
     counts = {
         r["_pid"]: r["n"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -161,17 +164,29 @@ def assign_dense_ids(
         acc += counts[pid]
 
     def _number(batches):
-        seen = 0
+        consumed: dict[int, int] = {}
         for pdf in batches:
-            base = offsets[int(pdf["_pid"].iloc[0])] + seen
-            seen += len(pdf)
-            pdf = pdf.assign(**{id_col: np.arange(base, base + len(pdf), dtype=np.int64)})
+            pids = pdf["_pid"].to_numpy()
+            ids = np.empty(len(pdf), dtype=np.int64)
+            for s, e in _group_slices(pids):
+                pid = int(pids[s])
+                base = offsets[pid] + consumed.get(pid, 0)
+                ids[s:e] = np.arange(base, base + (e - s), dtype=np.int64)
+                consumed[pid] = consumed.get(pid, 0) + (e - s)
+            pdf = pdf.assign(**{id_col: ids})
             yield pdf.drop(columns=["_pid"])
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    return with_pid.mapInPandas(_number, schema=out_schema + f", {id_col} long")
+    # All rows of one bucket land in one partition (hash on _pid) and
+    # arrive key-sorted and contiguous; a bucket spanning Arrow batches
+    # is handled by the per-bucket consumed counter.
+    return (
+        with_pid.repartition(n_partitions, "_pid")
+        .sortWithinPartitions("_pid", key_col)
+        .mapInPandas(_number, schema=out_schema + f", {id_col} long")
+    )
 
 
 def assign_doc_ids(prepared: DataFrame, n_partitions: int = 32) -> DataFrame:
@@ -434,15 +449,15 @@ def build_index(
         .select("term_id", "doc_id", "tf", "dl")
         .persist()
     )
-    postings.count()  # materialize, then free the string-keyed triples
-    postings_raw.unpersist()
-
     # E4/E8: doc lengths + corpus stats (dl rides on the postings rows).
+    # This collect is also the action that materializes the persisted
+    # numeric postings, after which the string-keyed triples are freed.
     doclen = postings.groupBy("doc_id").agg(F.max("dl").cast("int").alias("dl"))
     stats_row = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    postings_raw.unpersist()
 
     # E7: salted two-phase assembly -> compressed blocks, written
     # partitioned by term_bucket (query-time partition pruning, Q3).
@@ -451,10 +466,7 @@ def build_index(
 
     # E6/E10: dictionary + stats tables, derived from the COMMITTED
     # segments so they can never drift from the written index. df is
-    # exact (approx_count_distinct would break rank-stability). The
-    # three independent writes are submitted from driver threads —
-    # Spark schedules concurrent jobs fine, and overlapping them hides
-    # their fixed per-job latency.
+    # exact (approx_count_distinct would break rank-stability).
     seg = read_engine_table(spark, paths.segments)
     dictionary = (
         seg.groupBy("term", "term_bucket")
@@ -469,24 +481,10 @@ def build_index(
         [(n_docs, avgdl, epoch, cfg.analysis_version)],
         schema=schemas.CORPUS_STATS,
     )
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [
-            pool.submit(write_table, dictionary, paths.dictionary),
-            pool.submit(write_table, doclen, paths.doclen),
-            pool.submit(write_table, stats_df, paths.corpus_stats),
-        ]
-        for f in futs:
-            f.result()
-    postings.unpersist()
-    terms_dim.unpersist()
-
-    wall = time.monotonic() - t0
-
     # E13: per-partition lineage/metrics from the committed segments
     # (input_rows = postings per bucket, bytes_out = blob bytes) + the
-    # driver-measured wall clock for the whole build stage.
+    # driver-measured wall clock through the segment commit.
+    wall = time.monotonic() - t0
     lineage = (
         seg.groupBy("term_bucket")
         .agg(
@@ -509,7 +507,23 @@ def build_index(
             F.lit("done").alias("status"),
         )
     )
-    write_table(lineage, paths.lineage, mode="append")
+    # The four finalize writes are independent of each other; submit
+    # them from driver threads (Spark schedules concurrent jobs fine)
+    # so their fixed per-job latencies overlap instead of summing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(write_table, dictionary, paths.dictionary),
+            pool.submit(write_table, doclen, paths.doclen),
+            pool.submit(write_table, stats_df, paths.corpus_stats),
+            pool.submit(write_table, lineage, paths.lineage, None, "append"),
+        ]
+        for f in futs:
+            f.result()
+    postings.unpersist()
+    terms_dim.unpersist()
+    wall = time.monotonic() - t0
 
     return BuildResult(
         paths=paths,

@@ -114,16 +114,22 @@ def test_pages_build_matches_documents_build(spark, index_sf0001, query_set):
         from collections import Counter
 
         freq = Counter(got_scores)
-        got_uni = {
-            (r["query_id"], round(r["score"], 9)): docmap[r["doc_id"]]
-            for r in got
-            if freq[(r["query_id"], round(r["score"], 9))] == 1
-        }
-        want_uni = {
-            (r["query_id"], round(r["score"], 9)): r["doc_id"]
-            for r in want
-            if freq[(r["query_id"], round(r["score"], 9))] == 1
-        }
-        assert got_uni == want_uni
+        # Docs AT the k-th (minimum) score can be tie-cut differently, so
+        # only scores strictly above it are doc-comparable.
+        kth = {}
+        for qid, sc in got_scores:
+            kth[qid] = min(kth.get(qid, sc), sc)
+
+        def uni(rows, mapper):
+            return {
+                (r["query_id"], round(r["score"], 9)): mapper(r)
+                for r in rows
+                if freq[(r["query_id"], round(r["score"], 9))] == 1
+                and round(r["score"], 9) > kth[r["query_id"]]
+            }
+
+        got_uni = uni(got, lambda r: docmap[r["doc_id"]])
+        want_uni = uni(want, lambda r: r["doc_id"])
+        assert got_uni and got_uni == want_uni
     finally:
         shutil.rmtree(root, ignore_errors=True)
