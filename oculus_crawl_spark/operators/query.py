@@ -274,7 +274,14 @@ class SearchSession:
         queries: list[str] | list[list[str]],
         k: int = 10,
         with_metrics: bool = False,
+        gather: str = "driver",
     ) -> DataFrame:
+        """gather='driver' (default): per-range top-k lists (<= ranges*k
+        tiny rows) are collected and merged at the coordinator — the
+        standard scatter-gather search-tier shape; one Spark job, no
+        post-scan shuffle. gather='spark': the merge stays distributed
+        (window + filter) — use when ranges*queries*k is itself big.
+        Both produce identical rows (pinned tie-break)."""
         spark = self.spark
 
         # Q1: tokenize queries with the SAME frozen analyzer as the corpus.
@@ -319,12 +326,29 @@ class SearchSession:
         )
 
         # Q6/Q7: global merge of per-range top-k (<= ranges*k tiny rows).
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
         out_cols = ["query_id", "rank", "doc_id", "score"]
         if with_metrics:
             out_cols += ["blocks_total", "blocks_decoded"]
+        if gather == "driver":
+            rows = per_range.collect()
+            per_q: dict[int, list] = {}
+            for r in rows:
+                per_q.setdefault(r["query_id"], []).append(r)
+            out = []
+            for qid in sorted(per_q):
+                ranked = sorted(per_q[qid], key=lambda r: (-r["score"], r["doc_id"]))
+                for rank, r in enumerate(ranked[:k], start=1):
+                    rec = [qid, rank, r["doc_id"], float(r["score"])]
+                    if with_metrics:
+                        rec += [r["blocks_total"], r["blocks_decoded"]]
+                    out.append(tuple(rec))
+            schema = "query_id int, rank int, doc_id long, score double"
+            if with_metrics:
+                schema += ", blocks_total long, blocks_decoded long"
+            return spark.createDataFrame(out, schema)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
         return (
             per_range.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -114,3 +114,15 @@ def test_bruteforce_spark_path_agrees(spark, index_sf0001, query_set):
 def test_out_of_vocabulary_query_is_empty(spark, index_sf0001):
     out = search(spark, index_sf0001, ["zzz"], k=10).collect()
     assert out == []
+
+
+def test_gather_modes_identical(spark, index_sf0001, query_set):
+    """Coordinator (driver) merge and distributed (window) merge must
+    produce identical rows — same pinned tie-break."""
+    from oculus_crawl_spark.operators.query import SearchSession
+
+    sess = SearchSession(spark, index_sf0001)
+    queries = query_set["queries"][:12]
+    a = sorted(map(tuple, sess.search(queries, k=10, gather="driver").collect()))
+    b = sorted(map(tuple, sess.search(queries, k=10, gather="spark").collect()))
+    assert a == b
