@@ -44,7 +44,7 @@ def test_segments_scan_is_partition_pruned(spark, index_sf0001):
 
 def test_query_join_is_broadcast_never_smj(spark, index_sf0001):
     sess = SearchSession(spark, index_sf0001)
-    df = sess.search(["dup scan"], k=10)
+    df = sess.search(["dup scan"], k=10, gather="spark")  # inspectable plan
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -69,7 +69,7 @@ def test_no_row_python_udfs_anywhere(spark, index_sf0001):
     sess = SearchSession(spark, index_sf0001)
     plans = [
         _plan(term_frequencies(tokenize_corpus(docs))),
-        _plan(sess.search(["dup"], k=10)),
+        _plan(sess.search(["dup"], k=10, gather="spark")),
     ]
     for p in plans:
         assert "BatchEvalPython" not in p
