@@ -240,6 +240,7 @@ class SearchSession:
         index_root: str,
         cfg: IndexConfig = DEFAULT,
         max_resident_terms: int = 2_000_000,
+        cache_segments: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -249,6 +250,12 @@ class SearchSession:
         self.avgdl = float(stats["avgdl"])
         self._dictionary = spark.read.parquet(self.paths.dictionary)
         self._segments = spark.read.parquet(self.paths.segments)
+        if cache_segments:
+            # A serving tier keeps its (compressed, small) segments hot;
+            # repeated queries then skip the parquet scan entirely.
+            # Partition pruning still applies — the filter lands on the
+            # InMemoryTableScan. Disable for one-shot batch querying.
+            self._segments = self._segments.persist()
         self._resident: dict[str, tuple[int, int]] | None = None
         if self._dictionary.count() <= max_resident_terms:
             self._resident = {
