@@ -34,6 +34,10 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 
 
 def test_segments_scan_is_partition_pruned(spark, index_sf0001):
+    # SearchSession persists the segments relation and Spark's cache
+    # manager substitutes it into any identical read — clear it so this
+    # test inspects the actual parquet scan.
+    spark.catalog.clearCache()
     seg = spark.read.parquet(f"{index_sf0001}/segments").filter(
         F.col("term_bucket").isin([1, 5])
     )
