@@ -13,9 +13,9 @@ from dataclasses import dataclass, field
 class IndexConfig:
     """Configuration for one index build / query epoch."""
 
-    # BM25 parameters — pinned by BASELINE.json:6 ("Okapi BM25 k1=1.2 b=0.75").
-    k1: float = 1.2
-    b: float = 0.75
+    # BM25 parameters are NOT knobs: k1=1.2, b=0.75 are pinned by
+    # BASELINE.json:6 and live as frozen constants in functions/bm25.py
+    # (one formula, three surfaces — NumPy, Column expr, oracle SQL).
 
     # Posting block size. 128 matches the block-max WAND literature
     # (Ding & Suel, SIGIR 2011) and keeps per-block decode vectorizable.

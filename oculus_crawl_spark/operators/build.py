@@ -456,7 +456,28 @@ def build_index(
     stats_row = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    n_docs = int(stats_row["n_docs"])
+    # Empty corpus (or all-empty texts): write a well-formed empty index
+    # (explicit schemas — an empty partitioned write is unreadable
+    # otherwise) rather than crashing; searches then return [].
+    if n_docs == 0:
+        for path, schema in (
+            (paths.segments, schemas.SEGMENTS),
+            (paths.dictionary, schemas.DICTIONARY),
+            (paths.doclen, schemas.DOCLEN),
+        ):
+            write_table(spark.createDataFrame([], schema), path)
+        write_table(
+            spark.createDataFrame(
+                [(0, 0.0, epoch, cfg.analysis_version)], schema=schemas.CORPUS_STATS
+            ),
+            paths.corpus_stats,
+        )
+        postings.unpersist()
+        terms_dim.unpersist()
+        wall = time.monotonic() - t0
+        return BuildResult(paths, 0, 0.0, wall, 0.0)
+    avgdl = float(stats_row["avgdl"])
     postings_raw.unpersist()
 
     # E7: salted two-phase assembly -> compressed blocks, written

@@ -1,0 +1,61 @@
+"""Degenerate-input behavior: empty corpus, all-empty texts, single
+doc, empty query batch — the engine must produce well-formed (empty)
+results, never crash."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from oculus_crawl_spark.operators.build import build_index
+from oculus_crawl_spark.operators.query import SearchSession
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="ocs_edge_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_corpus_builds_searchable_empty_index(spark, tmp_root):
+    r = build_index(
+        spark.createDataFrame([], "doc_id long, text string"), tmp_root
+    )
+    assert r.n_docs == 0 and r.avgdl == 0.0
+    sess = SearchSession(spark, tmp_root)
+    assert sess.search(["anything"], k=5).collect() == []
+
+
+def test_all_empty_texts_is_empty_index(spark, tmp_root):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!!")], "doc_id long, text string"
+    )
+    r = build_index(docs, tmp_root)
+    assert r.n_docs == 0  # token-less docs carry no mass (oracle agrees)
+
+
+def test_single_doc_corpus(spark, tmp_root):
+    r = build_index(
+        spark.createDataFrame(
+            [(7, "hello world hello")], "doc_id long, text string"
+        ),
+        tmp_root,
+    )
+    assert r.n_docs == 1
+    hits = SearchSession(spark, tmp_root).search(["hello"], k=5).collect()
+    assert [h["doc_id"] for h in hits] == [7]
+    assert hits[0]["score"] > 0
+
+
+def test_empty_query_batch(spark, tmp_root):
+    build_index(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        tmp_root,
+    )
+    sess = SearchSession(spark, tmp_root)
+    assert sess.search([], k=5).collect() == []
+    assert sess.search([""], k=5).collect() == []
+    assert sess.search(["!!!"], k=5).collect() == []
