@@ -74,6 +74,14 @@ def main() -> None:
             timings[f"q{i + 1:02d}_{slug}"] = round(dt, 4)
             latencies.append(dt)
 
+        # Batched execution: all 25 queries in ONE Spark job (the
+        # engine's throughput mode — queries() batches natively).
+        t0 = time.monotonic()
+        search(spark, root, queries, k=k).collect()
+        dt = time.monotonic() - t0
+        timings["qbatch_all25"] = round(dt, 4)
+        qps = round(len(queries) / dt, 2)
+
         latencies.sort()
         p95 = latencies[min(len(latencies) - 1, int(0.95 * len(latencies)))]
         total = sum(timings.values())
@@ -88,6 +96,7 @@ def main() -> None:
                     "n_docs": result.n_docs,
                     "docs_per_sec": round(result.docs_per_sec, 2),
                     "query_p95_sec": round(p95, 4),
+                    "batch_qps": qps,
                     "cores": cpus,
                 }
             )

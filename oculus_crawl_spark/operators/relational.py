@@ -675,6 +675,55 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) — the batch
+    equivalent of a streaming session window: lag -> new-session flag ->
+    running sum = session id, then per-session aggregates. One window
+    shuffle on user_id; at scale this is the standard sessionize shape."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(sum(value), 4) AS session_value
+FROM sessions GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
 def q_union_distinct(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -726,4 +775,5 @@ QUERIES = {
     "rel_json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
     "rel_conditional_agg_pivot": (q_conditional_agg_pivot, SQL_CONDITIONAL_AGG_PIVOT),
     "rel_union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
 }
