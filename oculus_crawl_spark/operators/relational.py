@@ -749,6 +749,19 @@ ORDER BY nationkey
 """
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct counts — telemetry only (SURVEY §2:
+    exact countDistinct feeds idf; approx is for monitoring). Engines
+    implement different sketches, so there is no cross-engine oracle —
+    the pytest gate bounds the error vs exact instead (rows-only here)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.approx_count_distinct("l_partkey", 0.02).alias("apx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("apx_orders"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("apx_supps"),
+    )
+
+
 QUERIES = {
     "rel_scan_filter_project": (q_scan_filter_project, SQL_SCAN_FILTER_PROJECT),
     "rel_agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
@@ -776,4 +789,5 @@ QUERIES = {
     "rel_conditional_agg_pivot": (q_conditional_agg_pivot, SQL_CONDITIONAL_AGG_PIVOT),
     "rel_union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
     "rel_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "rel_approx_distinct_telemetry": (q_approx_distinct, None),
 }

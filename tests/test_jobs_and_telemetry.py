@@ -1,0 +1,56 @@
+"""spark-submit job entrypoints parse their CLIs, and the approximate
+distinct-count telemetry op stays within its error bound vs exact."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from oculus_crawl_spark.operators.relational import q_approx_distinct
+
+from .conftest import SF0001
+
+
+@pytest.mark.parametrize(
+    "script", ["jobs/build_index.py", "jobs/search.py", "jobs/merge_indexes.py"]
+)
+def test_job_cli_parses(script):
+    out = subprocess.run(
+        [sys.executable, script, "--help"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "usage" in out.stdout.lower()
+
+
+def test_job_cli_rejects_missing_args():
+    out = subprocess.run(
+        [sys.executable, "jobs/build_index.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert out.returncode != 0
+
+
+def test_approx_distinct_within_bound(spark):
+    row = q_approx_distinct(spark, SF0001).collect()[0]
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    exact = li.select(
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_orderkey").alias("o"),
+        F.countDistinct("l_suppkey").alias("s"),
+    ).collect()[0]
+    for apx, ex in [
+        (row["apx_parts"], exact["p"]),
+        (row["apx_orders"], exact["o"]),
+        (row["apx_supps"], exact["s"]),
+    ]:
+        assert abs(apx - ex) / ex < 0.05, (apx, ex)
