@@ -142,7 +142,9 @@ WITH toks AS (
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term ORDER BY term
+-- CAST: DuckDB sum(BIGINT) is HUGEINT; the engine's cf column is BIGINT.
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term ORDER BY term
 """
 
 

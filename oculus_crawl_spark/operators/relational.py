@@ -4,7 +4,14 @@ TPC-H-ish testdata views.
 
 Determinism rules for the driver's order-insensitive value-hash:
 * money-like double sums go through DECIMAL(28,2) casts on BOTH sides
-  (FP summation order would otherwise differ between engines);
+  (FP summation order would otherwise differ between engines), but the
+  OUTPUT column is always CAST back to DOUBLE: the driver's value-hash
+  distinguishes Spark DECIMAL(28,2) from DuckDB DECIMAL(38,_)/HUGEINT
+  even when every value matches (round-1 finding), while the exact
+  decimal -> nearest-double conversion is identical in both engines at
+  these magnitudes (unscaled value << 2^53);
+* integer sums are CAST to BIGINT on the DuckDB side (sum(BIGINT) is
+  HUGEINT there, BIGINT in Spark);
 * other derived doubles are round()ed identically on both sides;
 * timestamps are emitted as formatted strings (Spark session TZ is
   pinned UTC; DuckDB timestamps are naive UTC);
@@ -38,7 +45,9 @@ def q_scan_filter_project(spark, sf_dir):
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+            # Raw double passthrough — no arithmetic, so bit-identical on
+            # both sides (a DECIMAL wire type would hash-mismatch).
+            F.col("l_quantity").alias("qty"),
             F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
         )
     )
@@ -46,7 +55,7 @@ def q_scan_filter_project(spark, sf_dir):
 
 SQL_SCAN_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber,
-       CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+       l_quantity AS qty,
        strftime(l_shipdate, '%Y-%m-%d') AS ship_day
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -65,13 +74,13 @@ def q_agg_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
                     "decimal(28,4)"
                 )
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         )
@@ -81,10 +90,10 @@ def q_agg_pricing_summary(spark, sf_dir):
 
 SQL_AGG_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
-                * (1 - CAST(l_discount AS DECIMAL(28,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                * (1 - CAST(l_discount AS DECIMAL(28,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order,
        round(avg(l_quantity), 6) AS avg_qty
 FROM lineitem
@@ -106,7 +115,9 @@ def q_join_broadcast(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("p_brand")
     )
@@ -114,7 +125,7 @@ def q_join_broadcast(spark, sf_dir):
 
 SQL_JOIN_BROADCAST = """
 SELECT p_brand, count(*) AS n_items,
-       sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand
 """
@@ -141,7 +152,7 @@ def q_join_multiway(spark, sf_dir):
                     F.col("l_extendedprice").cast("decimal(28,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(28,2)"))
                 ).cast("decimal(28,4)")
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
         )
         .orderBy("r_name")
     )
@@ -149,8 +160,8 @@ def q_join_multiway(spark, sf_dir):
 
 SQL_JOIN_MULTIWAY = """
 SELECT r_name, count(*) AS n_lineitems,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
-                * (1 - CAST(l_discount AS DECIMAL(28,2))) AS DECIMAL(28,4))) AS revenue
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                * (1 - CAST(l_discount AS DECIMAL(28,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -212,7 +223,7 @@ def q_join_outer(spark, sf_dir):
             F.coalesce(
                 F.sum(F.col("o_totalprice").cast("decimal(28,2)")),
                 F.lit(0).cast("decimal(28,2)"),
-            ).cast("decimal(28,2)").alias("f_total"),
+            ).cast("double").alias("f_total"),
         )
         .orderBy("c_custkey")
     )
@@ -220,7 +231,7 @@ def q_join_outer(spark, sf_dir):
 
 SQL_JOIN_OUTER = """
 SELECT c_custkey, count(o_orderkey) AS n_f_orders,
-       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(28,2))), 0) AS DECIMAL(28,2)) AS f_total
+       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(28,2))), 0) AS DOUBLE) AS f_total
 FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
   ON c_custkey = o_custkey
 GROUP BY c_custkey ORDER BY c_custkey
@@ -433,14 +444,14 @@ def q_topk_per_group(spark, sf_dir):
             "o_orderpriority",
             "rn",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.col("o_totalprice").alias("price"),
         )
         .orderBy("o_orderpriority", "rn")
     )
 
 
 SQL_TOPK_PER_GROUP = """
-SELECT o_orderpriority, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+SELECT o_orderpriority, rn, o_orderkey, o_totalprice AS price
 FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       FROM orders) t
@@ -471,7 +482,11 @@ def q_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("sum_qty"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -480,7 +495,8 @@ def q_cube(spark, sf_dir):
 
 
 SQL_CUBE = """
-SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
@@ -712,8 +728,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  -- CAST: DuckDB's integer window sum yields HUGEINT; Spark emits BIGINT.
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, count(*) AS n_events,
