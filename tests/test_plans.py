@@ -46,12 +46,32 @@ def test_segments_scan_is_partition_pruned(spark, index_sf0001):
     assert "term_bucket" in pf  # pruning, not a post-scan filter
 
 
-def test_query_join_is_broadcast_never_smj(spark, index_sf0001):
+def test_query_shuffle_path_join_is_broadcast_never_smj(spark, index_sf0001):
     sess = SearchSession(spark, index_sf0001)
-    df = sess.search(["dup scan"], k=10, gather="spark")  # inspectable plan
+    df = sess.search(["dup scan"], k=10, gather="spark", path="shuffle")
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_query_fast_path_is_single_narrow_stage(spark, index_sf0001):
+    """The serving-tier fast path must not shuffle or join the blocks:
+    cached scan -> filter -> MapInPandas. The only Exchange allowed in
+    the gather='spark' plan is the final tiny top-k window merge."""
+    sess = SearchSession(spark, index_sf0001)
+    df = sess.search(["dup scan"], k=10, gather="spark", path="fast")
+    plan = _plan(df, mode="simple")
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Join" not in plan  # no join of any kind touches the blocks
+    # The query itself has exactly one Exchange — the final top-k window
+    # merge, ABOVE the WAND kernel (simple mode prints root-down). The
+    # repartition Exchange inside InMemoryRelation's cache-build plan is
+    # the one-time session-load shuffle, not a per-query cost.
+    query_part = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in plan
+    assert query_part.count("Exchange") == 1
+    assert query_part.index("Exchange") < query_part.index("MapInPandas")
 
 
 def test_tf_aggregation_is_partial(spark):

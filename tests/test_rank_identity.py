@@ -126,3 +126,48 @@ def test_gather_modes_identical(spark, index_sf0001, query_set):
     a = sorted(map(tuple, sess.search(queries, k=10, gather="driver").collect()))
     b = sorted(map(tuple, sess.search(queries, k=10, gather="spark").collect()))
     assert a == b
+
+
+def test_fast_and_shuffle_paths_identical(spark, index_sf0001, query_set):
+    """The closure-plan fast path and the broadcast-join shuffle path
+    are two physical strategies for the same operator — rows must be
+    identical across both, under both gather modes."""
+    from oculus_crawl_spark.operators.query import SearchSession
+
+    sess = SearchSession(spark, index_sf0001)
+    queries = query_set["queries"][:12]
+    ref = sorted(
+        map(tuple, sess.search(queries, k=10, gather="driver", path="fast").collect())
+    )
+    for gather in ("driver", "spark"):
+        got = sorted(
+            map(
+                tuple,
+                sess.search(queries, k=10, gather=gather, path="shuffle").collect(),
+            )
+        )
+        assert got == ref, gather
+
+
+def test_auto_gather_switches_on_scale(spark, index_sf0001):
+    """gather='auto' must pick the distributed merge once
+    ranges*queries*k crosses the threshold (driver collect of ~1M rows
+    per query batch at 10^12 docs is the failure mode this guards)."""
+    from oculus_crawl_spark.operators import query as qmod
+
+    sess = qmod.SearchSession(spark, index_sf0001)
+    big = sess.n_ranges_est * 1 * 10 > qmod.GATHER_SPARK_THRESHOLD
+    assert not big  # sandbox index is small -> auto resolves to driver
+    # Force the threshold down: auto must now produce the spark merge,
+    # and rows must match the driver merge exactly.
+    a = sorted(map(tuple, sess.search(["dup scan"], k=10, gather="driver").collect()))
+    old = qmod.GATHER_SPARK_THRESHOLD
+    try:
+        qmod.GATHER_SPARK_THRESHOLD = 0
+        # re-read inside search via module global
+        b_df = sess.search(["dup scan"], k=10, gather="auto")
+        assert "rank" in b_df.columns
+        b = sorted(map(tuple, b_df.collect()))
+    finally:
+        qmod.GATHER_SPARK_THRESHOLD = old
+    assert a == b
