@@ -123,6 +123,110 @@ def _oracle(query: str, k: int = 10) -> str:
     )
 
 
+_PAGES_CACHE: dict[str, str] = {}
+
+
+def get_pages_index(spark: SparkSession, sf_dir: str) -> str:
+    """Full north-rule path: synthesize Common-Crawl-style pages (WITH a
+    ~2% re-crawled duplicate slice) from ``documents``, then
+    filter -> latest-per-url dedup -> byte-identical Arrow extraction ->
+    dense docID assignment -> salted build. The oracle below recomputes
+    the expected corpus as a pure function of documents, so this entry
+    driver-grades ops E1/E2/docmap end to end."""
+    ensure_conf(spark)
+    root = _PAGES_CACHE.get(sf_dir)
+    if root is None:
+        from ..sources.pages import synthesize_pages
+        from .build import build_index_from_pages
+
+        pages = synthesize_pages(spark, sf_dir, with_dups=True).drop(
+            "_expected_doc_id", "text"
+        )
+        root = tempfile.mkdtemp(prefix="ocs_pages_")
+        build_index_from_pages(pages, root)
+        _PAGES_CACHE[sf_dir] = root
+    return root
+
+
+def _pages_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, dl) from the pages-built index: docmap joined to doclen.
+    dl comes from tokens of the EXTRACTED text, so a value match proves
+    the extraction chain reproduced every document (dup rows must carry
+    the re-crawled ' updated' suffix -> dl+1)."""
+    root = get_pages_index(spark, sf_dir)
+    docmap = spark.read.parquet(f"{root}/docmap").select("doc_id", "url")
+    doclen = spark.read.parquet(f"{root}/doclen")
+    return docmap.join(doclen, "doc_id").select("url", "dl").orderBy("url")
+
+
+_PAGES_DOCLEN_SQL = f"""
+SELECT printf('https://example.org/%s/%012d', source, doc_id) AS url,
+       CAST(len(regexp_extract_all(
+         lower(CASE WHEN doc_id % 50 = 0 THEN text || ' updated' ELSE text END),
+         '{TOKENIZE_ORACLE_REGEX}')) AS INT) AS dl
+FROM documents ORDER BY url
+"""
+
+
+def _pages_docmap_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docID assignment invariant: ids are DENSE 0..n-1 with no
+    collisions (SURVEY §7.4 — hash ids collide at 10^12 urls)."""
+    root = get_pages_index(spark, sf_dir)
+    dm = spark.read.parquet(f"{root}/docmap")
+    return dm.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_PAGES_DOCMAP_SQL = """
+SELECT count(*) AS n_docs, count(*) AS n_ids,
+       CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id
+FROM documents
+"""
+
+
+def _lineage(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    """E13 lineage totals for one stage: postings in, blocks out."""
+    return (
+        spark.read.parquet(f"{root}/lineage_metrics")
+        .filter(F.col("stage") == stage)
+        .groupBy("epoch", "stage")
+        .agg(
+            F.sum("input_rows").cast("long").alias("postings"),
+            F.sum("output_rows").cast("long").alias("blocks"),
+        )
+    )
+
+
+def _lineage_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lineage(spark, get_index(spark, sf_dir), "build")
+
+
+def _lineage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lineage(spark, get_merged_index(spark, sf_dir), "merge")
+
+
+def _lineage_oracle(epoch: int, stage: str) -> str:
+    """Independent reconstruction of the lineage totals: postings =
+    distinct (doc, term) pairs; blocks = ceil(df/block_size) per term
+    (sandbox doc_ids sit in one 2^20 range bucket, so blocks never split
+    on range here)."""
+    return f"""
+WITH tf AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
+  FROM documents
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT CAST({epoch} AS BIGINT) AS epoch, '{stage}' AS stage,
+       CAST(sum(df) AS BIGINT) AS postings,
+       CAST(sum(CAST(ceil(df / 128.0) AS BIGINT)) AS BIGINT) AS blocks
+FROM df
+"""
+
+
 def _term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: exact per-term document frequency + collection frequency,
     read from the engine's dictionary table (derived from the committed
@@ -190,6 +294,10 @@ def queries() -> dict:
         "fulltext_term_dictionary": _term_dictionary,
         "fulltext_doc_lengths": _doc_lengths,
         "fulltext_corpus_stats": _corpus_stats,
+        "pages_build_doclen": _pages_doclen,
+        "pages_docmap_dense": _pages_docmap_dense,
+        "fulltext_lineage_build": _lineage_build,
+        "fulltext_lineage_merge": _lineage_merge,
     }
 
 
@@ -205,4 +313,8 @@ def oracle_sql() -> dict:
         "fulltext_term_dictionary": _TERM_DICT_SQL,
         "fulltext_doc_lengths": _DOCLEN_SQL,
         "fulltext_corpus_stats": _CORPUS_STATS_SQL,
+        "pages_build_doclen": _PAGES_DOCLEN_SQL,
+        "pages_docmap_dense": _PAGES_DOCMAP_SQL,
+        "fulltext_lineage_build": _lineage_oracle(0, "build"),
+        "fulltext_lineage_merge": _lineage_oracle(1, "merge"),
     }
