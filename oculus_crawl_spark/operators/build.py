@@ -85,6 +85,12 @@ class IndexPaths:
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage_metrics")
 
+    @property
+    def tombstones(self) -> str:
+        # Superseded (epoch, range_bucket, doc_id) rows written by the
+        # merge — the Iceberg-v2 positional-delete-file analogue.
+        return os.path.join(self.root, "tombstones")
+
 
 # --- term bucketing (shared by build + dictionary + query pruning) -----------
 

@@ -33,6 +33,17 @@ statistics are recomputed against the merged corpus' avgdl — they depend
 on it, which is why the merged avgdl is computed BEFORE the first wave
 from the inputs' doclen tables (same latest-epoch-wins rule).
 
+Per-(term, doc) shadowing alone is NOT enough: a re-crawled doc whose
+new text DROPPED a term has no new posting to shadow the old one, so
+the stale posting would keep matching searches. The merge therefore
+writes TOMBSTONES first — (epoch, range_bucket, doc_id) rows for every
+doc superseded by a newer epoch, exactly Iceberg v2's positional-delete
+-file idea — and the kernel drops tombstoned docs from every input
+block of that epoch before re-blocking. Tombstone volume is bounded by
+re-crawl churn (not corpus size); workers load them once per merge via
+a per-process cache, and at 10^12 docs the table is written partitioned
+by range_bucket so a worker reads only its ranges' delete files.
+
 Scale notes: the kernel's input rows are already-compressed blocks
 (~1-2 bytes/posting over the wire); a group is one term within one
 2^range_bits doc range, so group size is bounded regardless of how hot
@@ -73,22 +84,74 @@ class MergeResult:
     wall_sec: float
 
 
-def _merge_blocks_factory(avgdl: float, epoch_out: int, cfg: IndexConfig):
+# Per-Python-worker tombstone cache: loaded once per (merge, worker),
+# keyed by (path, fingerprint) so a rerun with different content at the
+# same path can never serve stale deletes.
+_TOMB_CACHE: dict[tuple, dict[tuple[int, int], np.ndarray]] = {}
+
+
+def _load_tombstones(path: str, fingerprint: tuple) -> dict:
+    key = (path, fingerprint)
+    hit = _TOMB_CACHE.get(key)
+    if hit is None:
+        hit = {}
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path).to_pandas()
+        except Exception:  # no tombstone table -> nothing superseded
+            t = None
+        if t is not None and len(t):
+            for (ep, rb), g in t.groupby(["epoch", "range_bucket"]):
+                hit[(int(ep), int(rb))] = np.sort(
+                    g["doc_id"].to_numpy().astype(np.int64)
+                )
+        _TOMB_CACHE.clear()  # only one merge's tombstones stay resident
+        _TOMB_CACHE[key] = hit
+    return hit
+
+
+def _merge_blocks_factory(
+    avgdl: float, epoch_out: int, cfg: IndexConfig,
+    tombstone_path: str | None = None, tombstone_fp: tuple = (),
+):
     """Kernel: all input blocks of one (term, range_bucket) -> merged,
-    re-blocked, re-bounded segment rows. Latest-epoch-wins on doc_id."""
+    re-blocked, re-bounded segment rows. Tombstoned (superseded-epoch)
+    docs are dropped at decode; latest-epoch-wins dedup then handles
+    docs present in several epochs' postings of the SAME term."""
     bs = cfg.block_size
     n_buckets = cfg.n_term_buckets
 
     def merge_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb = (
+            _load_tombstones(tombstone_path, tombstone_fp)
+            if tombstone_path
+            else {}
+        )
+        rb_key = int(pdf["range_bucket"].iloc[0])
         docs_parts, tf_parts, dl_parts, ep_parts = [], [], [], []
         for row in pdf.itertuples(index=False):  # rows are blocks, not postings
             n = int(row.n_docs)
-            docs_parts.append(
-                decode_doc_ids(int(row.first_doc), row.doc_bytes, n).astype(np.int64)
-            )
-            tf_parts.append(pfor_decode(row.tf_bytes))
-            dl_parts.append(pfor_decode(row.dl_bytes))
-            ep_parts.append(np.full(n, int(row.epoch), dtype=np.int64))
+            d = decode_doc_ids(int(row.first_doc), row.doc_bytes, n).astype(np.int64)
+            t = pfor_decode(row.tf_bytes)
+            dl = pfor_decode(row.dl_bytes)
+            dead = tomb.get((int(row.epoch), rb_key))
+            if dead is not None and len(dead):
+                pos = np.searchsorted(dead, d)
+                pos = np.minimum(pos, len(dead) - 1)
+                keep = dead[pos] != d
+                if not keep.all():
+                    d, t, dl = d[keep], t[keep], dl[keep]
+            if len(d) == 0:
+                continue
+            docs_parts.append(d)
+            tf_parts.append(t)
+            dl_parts.append(dl)
+            ep_parts.append(np.full(len(d), int(row.epoch), dtype=np.int64))
+        if not docs_parts:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in schemas.SEGMENTS.fields}
+            ).iloc[:0]
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)
@@ -150,8 +213,14 @@ def _read_done_buckets(spark: SparkSession, paths: IndexPaths, epoch: int) -> se
     return {int(r["partition_id"]) for r in rows}
 
 
-def _merged_doclen(spark: SparkSession, inputs: list[IndexPaths]) -> DataFrame:
-    """Union of input doclens, latest-epoch-wins per doc_id."""
+def _doclen_and_tombstones(
+    spark: SparkSession, inputs: list[IndexPaths], cfg: IndexConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(merged doclen, tombstones). One ranking window over the unioned
+    doclens yields both: rank 1 per doc_id is the surviving (latest)
+    epoch; every other (doc_id, epoch) row is a superseded crawl whose
+    postings must be dropped wholesale — including terms the new text no
+    longer contains."""
     parts = []
     for p in inputs:
         ep = int(spark.read.parquet(p.corpus_stats).collect()[0]["epoch"])
@@ -162,11 +231,14 @@ def _merged_doclen(spark: SparkSession, inputs: list[IndexPaths]) -> DataFrame:
     for d in parts[1:]:
         union = union.unionByName(d)
     w = Window.partitionBy("doc_id").orderBy(F.col("epoch").desc())
-    return (
-        union.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "dl")
+    ranked = union.withColumn("_rn", F.row_number().over(w))
+    doclen = ranked.filter(F.col("_rn") == 1).select("doc_id", "dl")
+    tombstones = ranked.filter(F.col("_rn") > 1).select(
+        "epoch",
+        F.shiftright("doc_id", cfg.range_bits).cast("long").alias("range_bucket"),
+        "doc_id",
     )
+    return doclen, tombstones
 
 
 def merge_indexes(
@@ -194,9 +266,25 @@ def merge_indexes(
     epoch_out = max(int(s["epoch"]) for s in stats)
 
     # Merged corpus stats FIRST — block-max bounds depend on avgdl.
-    doclen = _merged_doclen(spark, inputs)
+    doclen, tombstones = _doclen_and_tombstones(spark, inputs, cfg)
     row = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["a"])
+
+    # Tombstones committed BEFORE any wave (idempotent overwrite, so a
+    # crash-resume rewrites the identical content). The fingerprint rides
+    # into the kernel closure and keys the per-worker cache.
+    tombstones.write.mode("overwrite").parquet(out.tombstones)
+    fp_row = (
+        spark.read.parquet(out.tombstones)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("epoch", "range_bucket", "doc_id")), F.lit(0)
+            ).alias("h"),
+        )
+        .collect()[0]
+    )
+    tombstone_fp = (int(fp_row["n"]), int(fp_row["h"]))
 
     seg_inputs = [spark.read.parquet(p.segments) for p in inputs]
     all_buckets = sorted(
@@ -210,7 +298,9 @@ def merge_indexes(
 
     n_waves = max(1, min(cfg.merge_waves, len(pending)))
     waves = [pending[i::n_waves] for i in range(n_waves)] if pending else []
-    kernel = _merge_blocks_factory(avgdl, epoch_out, cfg)
+    kernel = _merge_blocks_factory(
+        avgdl, epoch_out, cfg, out.tombstones, tombstone_fp
+    )
 
     for wi, wave in enumerate(waves):
         tw = time.monotonic()

@@ -80,13 +80,31 @@ def test_merge_latest_epoch_wins(spark):
         sess = SearchSession(spark, f"{tmp}/merged")
         hits = sess.search(["zebra"], k=5).collect()
         assert [r["doc_id"] for r in hits] == [7]
-        # The old content of doc 7 must be gone from its postings: terms
-        # unique to no other doc but present in old doc 7 should not hit 7.
         dictionary = {
             r["term"]: r["df"]
             for r in spark.read.parquet(f"{tmp}/merged/dictionary").collect()
         }
         assert dictionary["zebra"] == 1
+        # Removed-term shadowing: every term of doc 7's OLD text was
+        # dropped by the re-crawl (new text shares none), so doc 7 must
+        # not match ANY of them — the tombstone path, not per-term
+        # latest-wins, is what enforces this.
+        from oculus_crawl_spark.functions.analysis import tokenize
+
+        old_text = docs.filter(F.col("doc_id") == 7).collect()[0]["text"]
+        old_terms = sorted(set(tokenize(old_text)))
+        assert old_terms  # corpus docs are non-empty
+        for term in old_terms:
+            hit_ids = {
+                r["doc_id"] for r in sess.search([term], k=50).collect()
+            }
+            assert 7 not in hit_ids, term
+        # And the dictionary's df for old terms counts doc 7 out: it must
+        # equal the number of OTHER docs containing the term.
+        others = docs.filter(F.col("doc_id") != 7).collect()
+        for term in old_terms:
+            expected_df = sum(1 for r in others if term in set(tokenize(r["text"])))
+            assert dictionary.get(term, 0) == expected_df, term
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
