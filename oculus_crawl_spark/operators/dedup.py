@@ -280,8 +280,29 @@ def minhash_near_dup_pairs(
 
 
 # --- SimHash -----------------------------------------------------------------
+#
+# Candidate scheme (Manku/Jain/Sarma, WWW 2007 "Detecting Near-Duplicates
+# for Web Crawling"): split the 64-bit fingerprint into 6 blocks (4x11 +
+# 2x10 bits). A pair with hamming distance <= 3 flips bits in at most 3
+# blocks, so SOME 3 blocks are bit-identical — the pair collides in the
+# table keyed on that block triple. C(6,3) = 20 tables, each keyed on a
+# ~32-bit concatenation.
+#
+# Why not the 4x16-bit chunk pigeonhole (round-1 scheme): a 16-bit key
+# has 65,536 possible buckets TOTAL, so at 10^12 docs every bucket holds
+# ~1.5e7 docs and the candidate join is effectively quadratic. The
+# 32-bit triple keys give ~4e9 buckets per table — the standard
+# web-scale layout — at the cost of 20x (vs 4x) key fanout, which is
+# still fixed 12-byte rows through a reducing join.
 
-_N_CHUNKS = 4  # pigeonhole: hamming<=3 pairs share >=1 of 4 16-bit chunks
+_BLOCK_WIDTHS = [11, 11, 11, 11, 10, 10]
+_BLOCK_OFFSETS = [0, 11, 22, 33, 44, 54]
+_BLOCK_TRIPLES = [
+    (i, j, l)
+    for i in range(6)
+    for j in range(i + 1, 6)
+    for l in range(j + 1, 6)
+]  # 20 combinations
 
 
 @F.pandas_udf(T.LongType())
@@ -308,40 +329,62 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", simhash_udf("text").alias("simhash"))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs share one of 4 16-bit chunks (pigeonhole over
-    hamming<=3), verified by popcount(xor). Chunk-equality joins are
-    plain shuffles on 2-byte keys — the standard scale-out simhash
-    pattern (one join per chunk, unioned, distinct)."""
-    fp = simhash_fingerprints(docs)
-    chunks = fp.select(
-        "doc_id",
-        "simhash",
-        *[
-            (F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
-                f"c{i}"
-            )
-            for i in range(_N_CHUNKS)
-        ],
-    )
-    pairs = None
-    for i in range(_N_CHUNKS):
-        a = chunks.alias("a")
-        b = chunks.alias("b")
-        p = a.join(
+def _block_col(i: int):
+    """Block i of the simhash as a JVM expression (no Python)."""
+    mask = (1 << _BLOCK_WIDTHS[i]) - 1
+    return F.shiftrightunsigned("simhash", _BLOCK_OFFSETS[i]).bitwiseAND(F.lit(mask))
+
+
+def simhash_candidate_pairs(fp: DataFrame) -> DataFrame:
+    """(doc_id, simhash) -> distinct candidate (a_id, b_id, sh_a, sh_b).
+
+    One explode to (table_id, key) rows — key = the table's block triple
+    packed into <= 33 bits, all whole-stage-codegen'd — then a single
+    equi self-join on (table_id, key). Guaranteed superset of every
+    hamming<=3 pair (pigeonhole over the 6-block split)."""
+    entries = [
+        F.struct(
+            F.lit(t).alias("table_id"),
+            (
+                _block_col(i)
+                + (_block_col(j) * F.lit(1 << 11))
+                + (_block_col(l) * F.lit(1 << 22))
+            ).alias("key"),
+        )
+        for t, (i, j, l) in enumerate(_BLOCK_TRIPLES)
+    ]
+    keyed = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "simhash", "e.table_id", "e.key")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
             b,
-            (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        )
+        .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        .distinct()
+    )
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming<=3 near-dup pairs: Manku 6-block candidate tables (see
+    module comment above) verified by popcount(xor)."""
+    if max_hamming > 3:
+        raise ValueError("6-block/triple scheme is exact only for hamming<=3")
+    cand = simhash_candidate_pairs(simhash_fingerprints(docs))
     return (
-        pairs.distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
