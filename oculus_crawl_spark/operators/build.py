@@ -140,8 +140,15 @@ def prepare_pages(
     )
 
 
+# One id-bucket sorts ~this many keys in one task. 4M keys (8-byte hash
+# + key string) is comfortably one executor task; 10^12 keys resolve to
+# the 65536 cap => ~15M keys/bucket, still one task's worth of sort.
+# The floor of 32 keeps sandbox-scale runs parallel.
+_TARGET_KEYS_PER_ID_BUCKET = 4_000_000
+
+
 def assign_dense_ids(
-    df: DataFrame, key_col: str, id_col: str, n_partitions: int = 32
+    df: DataFrame, key_col: str, id_col: str, n_partitions: int | None = None
 ) -> DataFrame:
     """Dense deterministic 64-bit IDs for a unique key column (SURVEY
     §7.4). hash64(key) collides at scale (~27k birthday collisions at
@@ -153,21 +160,44 @@ def assign_dense_ids(
     physical partition ids are not stable across jobs — Catalyst can
     collapse a user repartition into an ENSURE_REQUIREMENTS exchange
     that AQE then coalesces — while a data-derived bucket is immune to
-    any re-planning. Deterministic for a fixed key set and
-    n_partitions; changing n_partitions renumbers — pin it per index
-    generation."""
-    with_pid = df.withColumn(
-        "_pid", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_partitions)).cast("int")
+    any re-planning.
+
+    ``n_partitions=None`` derives a power-of-two bucket count sized so
+    no task sorts more than ~_TARGET_KEYS_PER_ID_BUCKET keys — WITHOUT
+    an extra pass over the input: the counting groupBy histograms fine
+    pre-buckets (hash mod 65536) and, since n | 65536, folds them into
+    the final buckets driver-side ((h mod 65536) mod n == h mod n).
+    Deterministic for a fixed key set and bucket count; changing the
+    bucket count renumbers — PIN the resolved count per index
+    generation (alongside the epoch) when ids must stay stable across
+    incremental builds."""
+    pre = 65536 if n_partitions is None else n_partitions
+    with_pre = df.withColumn(
+        "_pre", F.pmod(F.xxhash64(F.col(key_col)), F.lit(pre)).cast("int")
     )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    pre_counts = {
+        r["_pre"]: r["n"]
+        for r in with_pre.groupBy("_pre").agg(F.count("*").alias("n")).collect()
     }
+    if n_partitions is None:
+        total = sum(pre_counts.values())
+        n_partitions = 32
+        while (
+            n_partitions < 65536
+            and total / n_partitions > _TARGET_KEYS_PER_ID_BUCKET
+        ):
+            n_partitions *= 2
+    counts: dict[int, int] = {}
+    for pb, n in pre_counts.items():
+        counts[pb % n_partitions] = counts.get(pb % n_partitions, 0) + n
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    with_pid = with_pre.withColumn(
+        "_pid", F.pmod(F.col("_pre"), F.lit(n_partitions)).cast("int")
+    ).drop("_pre")
 
     def _number(batches):
         consumed: dict[int, int] = {}
@@ -195,7 +225,9 @@ def assign_dense_ids(
     )
 
 
-def assign_doc_ids(prepared: DataFrame, n_partitions: int = 32) -> DataFrame:
+def assign_doc_ids(
+    prepared: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
     """Dense deterministic docIDs keyed by url (see assign_dense_ids)."""
     return assign_dense_ids(prepared, "url", "doc_id", n_partitions)
 

@@ -90,6 +90,28 @@ def test_assign_doc_ids_dense_and_deterministic(spark):
     }  # deterministic
 
 
+def test_assign_dense_ids_any_partition_count(spark):
+    """Every bucket count yields a dense, collision-free 0..n-1
+    numbering (the numberings themselves may differ — the count is
+    pinned per index generation); the derived power-of-two path must
+    match the explicit path for the same effective count."""
+    from oculus_crawl_spark.operators.build import assign_dense_ids
+
+    keys = spark.createDataFrame(
+        [(f"url-{i:05d}",) for i in range(997)], "url string"
+    )
+    base = None
+    for n in (1, 7, 32, 64):
+        got = assign_dense_ids(keys, "url", "doc_id", n_partitions=n).collect()
+        ids = sorted(r["doc_id"] for r in got)
+        assert ids == list(range(997)), n
+        assert len({r["url"] for r in got}) == 997
+        if n == 32:
+            base = sorted((r["url"], r["doc_id"]) for r in got)
+    derived = assign_dense_ids(keys, "url", "doc_id").collect()  # auto -> 32
+    assert sorted((r["url"], r["doc_id"]) for r in derived) == base
+
+
 def test_pages_build_matches_documents_build(spark, index_sf0001, query_set):
     """Search over the pages-built index returns the SAME urls and scores
     as the documents-built index (ids differ — dense reassignment — so
