@@ -21,9 +21,14 @@ Two tiers, mirroring a production vector-search stack:
   vectors — so the gate is recall >= 0.5 at 30% scan, ~1.7x better
   than random pruning).
 
-At 10^12-doc scale the IVF table is written partitioned by cell id, so
-a probe is a partition-pruned scan of nprobe cells; the brute-force
-path remains as the final reranker within candidates.
+At scale the IVF table is WRITTEN partitioned by cell id (``ivf_write``)
+and probes run against it (``ivf_topk_indexed``): the per-probe scan is
+partition-pruned to the nprobe selected cells (CI-asserted
+PartitionFilters), which is what turns O(N) into O(N*nprobe/n_cells)
+on disk, not just in memory. Cell count defaults to ~sqrt(n_vecs) (the
+standard IVF sizing: balances cells scanned vs vectors per cell);
+nprobe defaults to ~30% of cells at sandbox scale — real deployments
+pin an absolute nprobe.
 """
 
 from __future__ import annotations
@@ -35,11 +40,21 @@ from ..sources.tables import read_table
 
 K = 5
 N_PROBE_IDS = 10  # probes = vec_id < 10
-N_CELLS = 10
-NPROBE_CELLS = 3
 _KMEANS_SAMPLE = 100_000  # driver-side training sample bound
 _KMEANS_ITERS = 10
 _KMEANS_SEED = 13
+
+
+def derive_n_cells(n_vecs: int) -> int:
+    """~sqrt(n): 10^12 vectors => 65536-cap (then ~1.5e7 vecs/cell —
+    cells stay single-task scans); sandbox 500 vectors => 22 cells."""
+    return max(1, min(65536, round(n_vecs ** 0.5)))
+
+
+def derive_nprobe(n_cells: int) -> int:
+    """Sandbox default: ~30% of cells (matches the recall gate). Real
+    deployments pin nprobe absolutely (e.g. 8-64)."""
+    return max(1, -(-3 * n_cells // 10))
 
 
 def _dot(a, b):
@@ -124,13 +139,18 @@ def _train_centroids(emb: DataFrame, n_cells: int) -> "np.ndarray":
     return C
 
 
-def ivf_build(emb: DataFrame, n_cells: int = N_CELLS) -> tuple[DataFrame, DataFrame]:
+def ivf_build(
+    emb: DataFrame, n_cells: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(assignments, centroids). K-means quantizer trained on a sample;
     assignment runs distributed — one vectorized Arrow batch matmul per
-    partition against the broadcast centroid matrix. At scale the
-    assignments table is written partitioned by cell for pruning."""
+    partition against the broadcast centroid matrix. ``ivf_write``
+    persists the result partitioned by cell for pruned probing."""
     import numpy as np
     import pandas as pd
+
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
 
     C = _train_centroids(emb, n_cells)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -154,15 +174,108 @@ def ivf_build(emb: DataFrame, n_cells: int = N_CELLS) -> tuple[DataFrame, DataFr
     return assignments, centroids
 
 
+def ivf_write(
+    emb: DataFrame, index_path: str, n_cells: int | None = None
+) -> int:
+    """Persist the IVF index: ``assignments`` PARTITIONED BY cell (the
+    probe path prunes to its nprobe cells' files) + ``centroids``.
+    Returns the resolved cell count."""
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
+    assignments, centroids = ivf_build(emb, n_cells)
+    assignments.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/assignments"
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return n_cells
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    probes: DataFrame,
+    k: int = K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """ANN top-k against a WRITTEN IVF index: probe->cell routing is
+    computed driver-side from the (tiny) centroid table, and the
+    assignments scan carries a literal ``cell IN (...)`` filter that
+    parquet partition pruning turns into reading only those cells'
+    files (CI-asserted). Exact rerank inside the selected cells."""
+    import numpy as np
+
+    cent = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    n_cells = len(C)
+    if nprobe is None:
+        nprobe = derive_nprobe(n_cells)
+    routes = []
+    for r in probes.select("vec_id", "embedding").collect():  # probes are small
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        cos = (x / np.linalg.norm(x)) @ Cn.T
+        order = np.lexsort((np.arange(n_cells), -cos))  # cosine DESC, cell ASC
+        routes.extend((int(r["vec_id"]), int(c)) for c in order[:nprobe])
+    if not routes:
+        return spark.createDataFrame(
+            [], "q_id long, rank int, n_id long, cosine double"
+        )
+    probe_cells = spark.createDataFrame(routes, "q_id long, cell int")
+    cells_needed = sorted({c for _, c in routes})
+    base = (
+        spark.read.parquet(f"{index_path}/assignments")
+        .filter(F.col("cell").isin(cells_needed))  # -> PartitionFilters
+        .select(
+            "cell",
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            _norm(F.col("embedding")).alias("n_norm"),
+        )
+    )
+    q = probes.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    scored = (
+        base.join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("n_emb"), F.col("q_emb"))
+                / (F.col("n_norm") * F.col("q_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cosine")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     probes: DataFrame,
     k: int = K,
-    nprobe: int = NPROBE_CELLS,
+    nprobe: int | None = None,
+    n_cells: int | None = None,
 ) -> DataFrame:
-    """ANN top-k: rank cells by probe-centroid cosine, exact-rerank
-    within the nprobe nearest cells only."""
-    assignments, centroids = ivf_build(emb)
+    """ANN top-k (in-memory variant): rank cells by probe-centroid
+    cosine, exact-rerank within the nprobe nearest cells only."""
+    if n_cells is None:
+        n_cells = derive_n_cells(emb.count())
+    if nprobe is None:
+        nprobe = derive_nprobe(n_cells)
+    assignments, centroids = ivf_build(emb, n_cells)
     q = probes.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -255,10 +368,23 @@ ORDER BY q_id, rank
 """
 
 
+_IVF_CACHE: dict[str, str] = {}
+
+
 def q_ann_ivf(spark, sf_dir):
+    """Driver entry runs the REAL architecture: write the cell-
+    partitioned index once per (process, sf_dir), probe via the pruned
+    scan path."""
+    import tempfile
+
     emb = _emb(spark, sf_dir)
+    path = _IVF_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ocs_ivf_")
+        ivf_write(emb, path)
+        _IVF_CACHE[sf_dir] = path
     probes = emb.filter(F.col("vec_id") < N_PROBE_IDS)
-    return ivf_topk(emb, probes).orderBy("q_id", "rank")
+    return ivf_topk_indexed(spark, path, probes).orderBy("q_id", "rank")
 
 
 QUERIES = {

@@ -165,7 +165,7 @@ def test_ivf_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 20)
     exact = similarity.cosine_topk_bruteforce(emb, probes).collect()
-    approx = similarity.ivf_topk(emb, probes, nprobe=3).collect()
+    approx = similarity.ivf_topk(emb, probes, nprobe=3, n_cells=10).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["q_id"], set()).add(r["n_id"])
@@ -175,9 +175,42 @@ def test_ivf_recall_vs_bruteforce(spark):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(v) for v in exact_sets.values())
     recall = hits / total
-    scan_frac = similarity.NPROBE_CELLS / similarity.N_CELLS
+    scan_frac = 3 / 10
     assert recall >= 0.5, f"IVF recall@5 = {recall:.3f}"
     assert recall >= 1.5 * scan_frac, f"no better than random pruning: {recall:.3f}"
+
+
+def test_ivf_indexed_path_matches_inmemory_and_prunes(spark, tmp_path):
+    """The written cell-partitioned index must (a) return the same rows
+    as the in-memory formulation for identical n_cells/nprobe, and (b)
+    probe through a PARTITION-PRUNED scan (PartitionFilters on cell),
+    never a full-table read."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    n_cells = similarity.ivf_write(emb, path, n_cells=10)
+    assert n_cells == 10
+    indexed_df = similarity.ivf_topk_indexed(spark, path, probes, nprobe=3)
+    mem = similarity.ivf_topk(emb, probes, nprobe=3, n_cells=10)
+    assert sorted(map(tuple, indexed_df.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed_df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:250]
+
+
+def test_ivf_derived_sizing():
+    assert similarity.derive_n_cells(500) == 22
+    assert similarity.derive_n_cells(10**12) == 65536
+    assert similarity.derive_nprobe(22) == 7
+    assert similarity.derive_nprobe(1) == 1
 
 
 def test_ivf_assignment_is_nearest_centroid(spark):
