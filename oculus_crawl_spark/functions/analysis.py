@@ -91,7 +91,23 @@ def wrap_html(text: str, doc_id: int) -> bytes:
 
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    return html.map(extract_text)
+    """Vectorized mirror of ``extract_text`` — same regexes, same order,
+    but each step is one pandas .str C loop over the whole Arrow batch
+    instead of a per-row Python call (extraction is the 100 TB ingest
+    hot loop). Only rows containing '&' take the per-row entity
+    unescape; golden tests pin byte-identity with the pure spec."""
+    s = html.str.decode("utf-8", errors="replace")
+    null = s.isna()
+    s = s.fillna("")
+    s = s.str.replace(_DROP_BLOCKS, " ", regex=True)
+    s = s.str.replace(_TAG, " ", regex=True)
+    amp = s.str.contains("&", regex=False)
+    if amp.any():
+        s.loc[amp] = s.loc[amp].map(_html.unescape)
+    s = s.str.replace(_WS, " ", regex=True).str.strip()
+    if null.any():
+        s.loc[null] = ""
+    return s
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -61,13 +61,25 @@ def main():
     ))
     sess = SearchSession(spark, root, cache_segments=False)
     sections.append((
-        "Query: broadcast join + per-range WAND + distributed merge (Q2/Q4/Q6)",
-        "Query terms broadcast (never SMJ); FlatMapGroupsInPandas is the "
+        "Query, shuffle tier: broadcast join + per-range WAND + distributed merge (Q2/Q4/Q6)",
+        "The general form for uncached sessions / huge vocabularies: query "
+        "terms broadcast (never SMJ); FlatMapGroupsInPandas is the "
         "Arrow-batched block-max WAND kernel per (query, doc-range); the "
-        "window merge only sees <= ranges*k rows. The default serving path "
-        "replaces the final window with a coordinator merge "
-        "(gather='driver') — one job, no post-scan shuffle.",
-        plan(sess.search(["dup scan"], k=10, gather="spark")),
+        "window merge only sees <= ranges*queries*k rows.",
+        plan(sess.search(["dup scan"], k=10, gather="spark", path="shuffle")),
+    ))
+    fast = SearchSession(spark, root)
+    sections.append((
+        "Query, FAST serving tier: single narrow stage over the range-partitioned cache (Q2'/Q4/Q6)",
+        "Default for resident sessions: segments persist pre-partitioned by "
+        "range_bucket at session open (the Exchange inside InMemoryRelation "
+        "is that one-time load shuffle); the per-term (query_id, idf) plan "
+        "rides in the MapInPandas closure, so the query itself is "
+        "cached-scan -> Filter(term IN ...) -> MapInPandas with NO join and "
+        "NO per-query exchange. The window merge below is gather='spark'; "
+        "the default coordinator gather (ranges*queries*k below threshold) "
+        "has no post-kernel exchange at all. sf0.1 p95: 1.89s -> 1.20s.",
+        plan(fast.search(["dup scan"], k=10, gather="spark", path="fast")),
     ))
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:

@@ -16,8 +16,8 @@ shared 32-core host; set N=8 for the 8->32 variant on an idle host.
 
 Writes BENCH.md and prints one JSON summary line.
 
-Usage: python scripts/scaling_bench.py [R] [N] [trials]
-       (defaults R=32, N=2, trials=2)
+Usage: python scripts/scaling_bench.py [R] [N1,N2,...] [trials]
+       (defaults R=32, N=2,8, trials=2 — i.e. the 2->8 and 8->32 pairs)
 """
 
 from __future__ import annotations
@@ -78,63 +78,85 @@ def run_one(cores: int, rep: int) -> dict:
 
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    ns = (
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else [2, 8]
+    )
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores_needed = sorted({c for n in ns for c in (n, 4 * n)})
     best: dict[int, dict] = {}
     for _ in range(trials):
-        for cores in (n, 4 * n):
+        for cores in cores_needed:
             r = run_one(cores, rep)
             if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
                 best[cores] = r
-    r8, r32 = best[n], best[4 * n]
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
-    summary = {
-        "metric": f"index_build_scaling_efficiency_{n}_to_{4 * n}_cores",
-        "value": round(eff, 3),
-        "unit": "efficiency",
-        "target": 0.8,
-        "input": f"{sf_dir}/documents.parquet x{rep}",
-        "n_docs": r8["n_docs"],
-        "trials": trials,
-        f"local{n}": r8,
-        f"local{4 * n}": r32,
-    }
-    print(json.dumps(summary))
+    pairs = []
+    for n in ns:
+        lo, hi = best[n], best[4 * n]
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+        pairs.append((n, lo, hi, eff))
+        print(
+            json.dumps(
+                {
+                    "metric": f"index_build_scaling_efficiency_{n}_to_{4 * n}_cores",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "target": 0.8,
+                    "input": f"{sf_dir}/documents.parquet x{rep}",
+                    "n_docs": lo["n_docs"],
+                    "trials": trials,
+                    f"local{n}": lo,
+                    f"local{4 * n}": hi,
+                }
+            )
+        )
 
+    rows = "\n".join(
+        f"| local[{c}] | {best[c]['n_docs']:,} | {best[c]['wall_sec']} "
+        f"| {best[c]['docs_per_sec']:,} |"
+        for c in cores_needed
+    )
+    effs = "\n".join(
+        f"* **N={n} -> 4N={4 * n}: efficiency = (tput_{4 * n} / tput_{n}) / 4 "
+        f"= {eff:.3f}** (target >= 0.8)"
+        for n, _lo, _hi, eff in pairs
+    )
     with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — measured performance (sandbox)
 
-Hardware: 32-core Linux sandbox (SHARED — ~9 cores of external load
-observed while idle), single JVM (`local[k]`), 128 GiB.
+Hardware: 32-core Linux sandbox (SHARED with external load — check the
+per-round note), single JVM (`local[k]`), 128 GiB.
 Input: `{sf_dir}/documents.parquet` replicated x{rep}
-({r8["n_docs"]:,} docs; deterministic doc_id shift per replica, no
-external data). Fresh JVM per measurement; best of {trials} trials
-per config (min-wall de-noises the shared host).
+({best[cores_needed[0]]["n_docs"]:,} docs; deterministic doc_id shift
+per replica, no external data). Fresh JVM per measurement; best of
+{trials} trials per config (min-wall de-noises the shared host).
 
 ## Scaling efficiency (N -> 4N evidence, BASELINE.json:2,14)
 
 No real cluster exists in this sandbox; per the task rule the two
 cluster sizes are evidenced as two parallelism levels of the identical
-job on identical input. N={n} is used so that BOTH configs fit within
-the host's free cores — at N=8, local[32] would contend with the
-external load and the measurement reflects the host, not the engine.
+job on identical input. The small-N pair is the cleaner measurement on
+a shared host (both configs fit the free cores); the 8->32 pair is
+reported as well since the task asks for it — local[32] contends with
+whatever external load is present, so its efficiency is a lower bound.
 
 | config | n_docs | wall (s) | docs/sec |
 |---|---|---|---|
-| local[{n}]  (N)  | {r8["n_docs"]:,} | {r8["wall_sec"]} | {r8["docs_per_sec"]:,} |
-| local[{4 * n}] (4N) | {r32["n_docs"]:,} | {r32["wall_sec"]} | {r32["docs_per_sec"]:,} |
+{rows}
 
-**Scaling efficiency = (tput_4N / tput_N) / 4 = {eff:.3f}** (target >= 0.8).
+{effs}
 
 ## Query latency
 
 See `BENCH_r*.json` (driver-recorded): `bench.py` builds the sf0.1
 index and runs the frozen 25-query set through block-max WAND;
-`query_p95_sec` is the reported p95.
+`query_p95_sec` is the reported p95 (fast serving tier, coordinator
+gather).
 
-Reproduce: `python scripts/scaling_bench.py {rep} {n} {trials}` and
-`python bench.py`.
+Reproduce: `python scripts/scaling_bench.py {rep} {",".join(map(str, ns))} {trials}`
+and `python bench.py`.
 """)
 
 
