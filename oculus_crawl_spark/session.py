@@ -10,6 +10,7 @@ shuffle partitions ~ cores (AQE shrinks further when data is small).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -53,6 +54,31 @@ def get_spark(
         # batch — still memory-safe, 20x less per-batch overhead.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     )
+    # local[k] must mean k CPUs to the WHOLE JVM, not just the task
+    # scheduler: without this the JVM sizes GC and internal thread pools
+    # to the host's 32 visible CPUs, which on this steal-prone shared VM
+    # measurably serializes multi-core runs (x128 build at local[8]:
+    # 133s -> 93s with the pin). On a real cluster the resource manager
+    # sets executor cores and this is inert.
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:
+        apc = f"-XX:ActiveProcessorCount={m.group(1)}"
+        prev = (extra_conf or {}).get("spark.driver.extraJavaOptions", "")
+        if "ActiveProcessorCount" not in prev:
+            builder = builder.config(
+                "spark.driver.extraJavaOptions", f"{prev} {apc}".strip()
+            )
+    # Shuffle/spill scratch on tmpfs when available: this sandbox host
+    # shows very high kernel-time cost per filesystem syscall, and
+    # shuffle-file traffic through ext4 measurably serializes multi-core
+    # runs. On a real cluster spark.local.dir comes from the cluster
+    # config and this override is inert (SPARK_GRAFT_LOCAL_DIR=- to
+    # disable).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/ocs_spark_local"
+    if local_dir and local_dir != "-":
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

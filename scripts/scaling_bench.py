@@ -44,13 +44,21 @@ spark = get_spark(
     master=f"local[{{cores}}]",
     shuffle_partitions=max(8, 2 * cores),  # scales with the "cluster", as deployed
 )
-docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-    "doc_id", "text"
+# Corpus replication must itself be parallel: the 5000-row source parquet
+# is ONE partition, and a crossJoin fans out from the LEFT side's
+# partitions — replicating before repartitioning made one task produce
+# the whole corpus (a data-proportional serial stage that poisoned the
+# round-2 first scaling run). Spread the source first, broadcast the
+# replica index, and the fanout runs on every core.
+docs = (
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    .select("doc_id", "text")
+    .repartition(max(cores * 4, 16))
 )
 reps = spark.range(rep).select(F.col("id").alias("rep"))
-corpus = docs.crossJoin(reps).select(
+corpus = docs.crossJoin(F.broadcast(reps)).select(
     (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
-).repartition(max(cores * 2, 8))
+)
 n_docs = corpus.count()  # warm-up + materialize the input definition
 root = tempfile.mkdtemp(prefix=f"ocs_scale_{{cores}}_")
 try:
