@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--index-root", required=True)
     ap.add_argument("--epoch", type=int, default=0)
     ap.add_argument("--langs", help="comma-separated lang allowlist")
+    ap.add_argument(
+        "--prior-docmap",
+        help="path to an earlier generation's docmap table: re-crawled "
+        "urls keep their doc_id, new urls get dense ids past its max "
+        "(incremental crawl -> re-crawl -> merge flow)",
+    )
     args = ap.parse_args()
 
     from oculus_crawl_spark.operators.build import (
@@ -45,6 +51,7 @@ def main() -> None:
             args.index_root,
             epoch=args.epoch,
             langs=args.langs.split(",") if args.langs else None,
+            prior_docmap=args.prior_docmap,
         )
     else:
         docs = spark.read.parquet(args.documents).select("doc_id", "text")

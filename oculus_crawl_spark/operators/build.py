@@ -82,6 +82,13 @@ class IndexPaths:
         return os.path.join(self.root, "docmap")
 
     @property
+    def docmap_meta(self) -> str:
+        # Pins the id-assignment geometry of this generation: the
+        # resolved dense-id bucket count plus the offset new ids start
+        # at (assign_dense_ids renumbers if the bucket count changes).
+        return os.path.join(self.root, "docmap_meta")
+
+    @property
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage_metrics")
 
@@ -150,6 +157,15 @@ _TARGET_KEYS_PER_ID_BUCKET = 4_000_000
 def assign_dense_ids(
     df: DataFrame, key_col: str, id_col: str, n_partitions: int | None = None
 ) -> DataFrame:
+    """See assign_dense_ids_resolved — this wrapper drops the resolved
+    bucket count for callers that don't pin it."""
+    out, _n = assign_dense_ids_resolved(df, key_col, id_col, n_partitions)
+    return out
+
+
+def assign_dense_ids_resolved(
+    df: DataFrame, key_col: str, id_col: str, n_partitions: int | None = None
+) -> tuple[DataFrame, int]:
     """Dense deterministic 64-bit IDs for a unique key column (SURVEY
     §7.4). hash64(key) collides at scale (~27k birthday collisions at
     10^12 keys), so IDs are dense: range-partition by key, count per
@@ -168,9 +184,10 @@ def assign_dense_ids(
     pre-buckets (hash mod 65536) and, since n | 65536, folds them into
     the final buckets driver-side ((h mod 65536) mod n == h mod n).
     Deterministic for a fixed key set and bucket count; changing the
-    bucket count renumbers — PIN the resolved count per index
-    generation (alongside the epoch) when ids must stay stable across
-    incremental builds."""
+    bucket count renumbers — the resolved count is RETURNED so callers
+    can pin it per index generation (build_index_from_pages persists it
+    in docmap_meta) when ids must stay stable across incremental
+    builds."""
     pre = 65536 if n_partitions is None else n_partitions
     with_pre = df.withColumn(
         "_pre", F.pmod(F.xxhash64(F.col(key_col)), F.lit(pre)).cast("int")
@@ -218,11 +235,12 @@ def assign_dense_ids(
     # All rows of one bucket land in one partition (hash on _pid) and
     # arrive key-sorted and contiguous; a bucket spanning Arrow batches
     # is handled by the per-bucket consumed counter.
-    return (
+    out = (
         with_pid.repartition(n_partitions, "_pid")
         .sortWithinPartitions("_pid", key_col)
         .mapInPandas(_number, schema=out_schema + f", {id_col} long")
     )
+    return out, n_partitions
 
 
 def assign_doc_ids(
@@ -610,15 +628,62 @@ def build_index_from_pages(
     epoch: int = 0,
     langs: Iterable[str] | None = None,
     cfg: IndexConfig = DEFAULT,
+    prior_docmap: str | None = None,
 ) -> BuildResult:
     """Full north-rule path: pages(url, warc_ts, html, lang) -> index.
 
     filter -> dedup -> byte-identical extraction -> dense docIDs (docmap
-    persisted for doc_id <-> url resolution) -> shared build."""
-    corpus = assign_doc_ids(prepare_pages(pages, langs=langs, cfg=cfg))
+    persisted for doc_id <-> url resolution) -> shared build.
+
+    ``prior_docmap`` (path to an earlier generation's docmap table)
+    makes the build INCREMENTAL — the crawl→re-crawl→merge flow: urls
+    already mapped keep their doc_id (left join against the prior map,
+    broadcast/shuffled by Catalyst as size dictates), and only NEW urls
+    get fresh dense ids, offset past the prior max so ids stay dense
+    across generations. The written docmap is the full updated map
+    (this crawl's rows + carried-forward rows for urls not re-crawled),
+    so generations chain. This is what makes the merge's latest-epoch-
+    wins semantics (operators/merge.py) reachable from pages: a
+    re-crawled url shadows its old postings because it carries the SAME
+    doc_id into the new epoch."""
+    spark = pages.sparkSession
+    prepared = prepare_pages(pages, langs=langs, cfg=cfg)
     paths = IndexPaths(index_root)
+
+    if prior_docmap is None:
+        corpus, n_id_buckets = assign_dense_ids_resolved(prepared, "url", "doc_id")
+        base_offset = 0
+        docmap = corpus.select("doc_id", "url", "warc_ts")
+    else:
+        prior = spark.read.parquet(prior_docmap)
+        prior_ids = prior.select("url", F.col("doc_id").alias("_prior_id"))
+        joined = prepared.join(prior_ids, "url", "left")
+        known = (
+            joined.filter(F.col("_prior_id").isNotNull())
+            .withColumn("doc_id", F.col("_prior_id"))
+            .drop("_prior_id")
+        )
+        fresh = joined.filter(F.col("_prior_id").isNull()).drop("_prior_id")
+        base_offset = (
+            int(prior.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or -1) + 1
+        )
+        fresh_ids, n_id_buckets = assign_dense_ids_resolved(fresh, "url", "doc_id")
+        fresh_ids = fresh_ids.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(base_offset)).cast("long")
+        )
+        corpus = known.unionByName(fresh_ids.select(*known.columns))
+        crawl_map = corpus.select("doc_id", "url", "warc_ts")
+        carried = prior.join(crawl_map.select("url"), "url", "left_anti").select(
+            "doc_id", "url", "warc_ts"
+        )
+        docmap = crawl_map.unionByName(carried)
+
+    write_table(docmap, paths.docmap)
     write_table(
-        corpus.select("doc_id", "url", "warc_ts"),
-        paths.docmap,
+        spark.createDataFrame(
+            [(int(epoch), int(n_id_buckets), int(base_offset))],
+            "epoch long, id_buckets int, base_offset long",
+        ),
+        paths.docmap_meta,
     )
     return build_index(corpus.select("doc_id", "text"), index_root, epoch, cfg)

@@ -168,6 +168,82 @@ FROM documents ORDER BY url
 """
 
 
+_PAGES_EPOCH1_CACHE: dict[str, str] = {}
+
+
+def get_pages_epoch1_index(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental crawl->re-crawl generation: epoch 1 is built with
+    ``prior_docmap`` pointing at the epoch-0 pages index, so re-crawled
+    urls KEEP their doc_id and only new urls get fresh dense ids offset
+    past the prior max. Epoch-1 crawl = every 10th document re-crawled
+    with ' again' appended, plus a 'mirror' slice of brand-new urls."""
+    root1 = _PAGES_EPOCH1_CACHE.get(sf_dir)
+    if root1 is None:
+        from ..sources.pages import synthesize_pages
+        from .build import build_index_from_pages
+
+        root0 = get_pages_index(spark, sf_dir)
+        base = synthesize_pages(spark, sf_dir)
+        recrawl = (
+            base.filter(F.col("_expected_doc_id") % 10 == 0)
+            .withColumn("warc_ts", F.expr("warc_ts + interval 2 hours"))
+            .withColumn("html", F.concat("html", F.lit(b"<p>again</p>")))
+        )
+        mirror = (
+            base.filter(F.col("_expected_doc_id") % 10 == 5)
+            .withColumn(
+                "url",
+                F.format_string(
+                    "https://example.org/mirror/%012d", "_expected_doc_id"
+                ),
+            )
+            .withColumn("warc_ts", F.expr("warc_ts + interval 3 hours"))
+        )
+        pages1 = recrawl.unionByName(mirror).drop("_expected_doc_id", "text")
+        root1 = tempfile.mkdtemp(prefix="ocs_pages_ep1_")
+        build_index_from_pages(
+            pages1, root1, epoch=1, prior_docmap=f"{root0}/docmap"
+        )
+        _PAGES_EPOCH1_CACHE[sf_dir] = root1
+    return root1
+
+
+def _pages_docmap_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docID stability across two pages generations (the merge's
+    correctness premise): every epoch-0 url keeps its doc_id in the
+    epoch-1 docmap (n_stable == n_prior), new urls extend the dense id
+    space past the prior max (n_ids == n_map, max_id == n_map - 1)."""
+    root0 = get_pages_index(spark, sf_dir)
+    root1 = get_pages_epoch1_index(spark, sf_dir)
+    dm0 = spark.read.parquet(f"{root0}/docmap").select("url", "doc_id")
+    dm1 = spark.read.parquet(f"{root1}/docmap").select("url", "doc_id")
+    a0 = dm0.agg(F.count("*").alias("n_prior"))
+    a1 = dm1.agg(
+        F.count("*").alias("n_map"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.max("doc_id").alias("max_id"),
+    )
+    stable = dm0.join(dm1, ["url", "doc_id"]).agg(F.count("*").alias("n_stable"))
+    new_above = (
+        dm1.join(dm0.select("url"), "url", "left_anti")
+        .crossJoin(dm0.agg(F.max("doc_id").alias("_m0")))
+        .filter(F.col("doc_id") > F.col("_m0"))
+        .agg(F.count("*").alias("n_new_above"))
+    )
+    return a0.crossJoin(a1).crossJoin(stable).crossJoin(new_above)
+
+
+_PAGES_DOCMAP_REUSE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_prior,
+       CAST(count(*) + sum(CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_map,
+       CAST(count(*) + sum(CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ids,
+       CAST(count(*) + sum(CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END) - 1 AS BIGINT) AS max_id,
+       CAST(count(*) AS BIGINT) AS n_stable,
+       CAST(sum(CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_above
+FROM documents
+"""
+
+
 def _pages_docmap_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docID assignment invariant: ids are DENSE 0..n-1 with no
     collisions (SURVEY §7.4 — hash ids collide at 10^12 urls)."""
@@ -296,6 +372,7 @@ def queries() -> dict:
         "fulltext_corpus_stats": _corpus_stats,
         "pages_build_doclen": _pages_doclen,
         "pages_docmap_dense": _pages_docmap_dense,
+        "pages_docmap_reuse": _pages_docmap_reuse,
         "fulltext_lineage_build": _lineage_build,
         "fulltext_lineage_merge": _lineage_merge,
     }
@@ -315,6 +392,7 @@ def oracle_sql() -> dict:
         "fulltext_corpus_stats": _CORPUS_STATS_SQL,
         "pages_build_doclen": _PAGES_DOCLEN_SQL,
         "pages_docmap_dense": _PAGES_DOCMAP_SQL,
+        "pages_docmap_reuse": _PAGES_DOCMAP_REUSE_SQL,
         "fulltext_lineage_build": _lineage_oracle(0, "build"),
         "fulltext_lineage_merge": _lineage_oracle(1, "merge"),
     }

@@ -84,30 +84,50 @@ class MergeResult:
     wall_sec: float
 
 
-# Per-Python-worker tombstone cache: loaded once per (merge, worker),
-# keyed by (path, fingerprint) so a rerun with different content at the
-# same path can never serve stale deletes.
-_TOMB_CACHE: dict[tuple, dict[tuple[int, int], np.ndarray]] = {}
+# Per-Python-worker tombstone cache: loaded lazily PER RANGE BUCKET —
+# the table is written partitioned by range_bucket, so a worker reads
+# only the delete files of the ranges its groups actually touch (the
+# scale contract in the module docstring). Keyed by (path, fingerprint)
+# so a rerun with different content at the same path never serves stale
+# deletes; the value maps range_bucket -> {epoch -> sorted doc_id array}.
+_TOMB_CACHE: dict[tuple, dict[int, dict[int, np.ndarray]]] = {}
 
 
-def _load_tombstones(path: str, fingerprint: tuple) -> dict:
+def _load_tombstones(path: str, fingerprint: tuple, range_bucket: int) -> dict:
+    """Deletes for ONE range bucket: {epoch -> sorted doc_id ndarray}.
+
+    fingerprint = (total_rows, content_hash) of the whole table. A
+    missing partition directory is the expected no-deletes-in-range case
+    ONLY while the table as a whole is readable — an unreadable table
+    with fingerprint rows > 0 is a hard error (silently keeping
+    superseded postings would be a correctness bug, not a degradation).
+    """
     key = (path, fingerprint)
-    hit = _TOMB_CACHE.get(key)
+    per_merge = _TOMB_CACHE.get(key)
+    if per_merge is None:
+        _TOMB_CACHE.clear()  # only one merge's tombstones stay resident
+        per_merge = _TOMB_CACHE.setdefault(key, {})
+    hit = per_merge.get(range_bucket)
     if hit is None:
         hit = {}
-        try:
+        if fingerprint and fingerprint[0] > 0:
+            import os as _os
+
             import pyarrow.parquet as pq
 
-            t = pq.read_table(path).to_pandas()
-        except Exception:  # no tombstone table -> nothing superseded
-            t = None
-        if t is not None and len(t):
-            for (ep, rb), g in t.groupby(["epoch", "range_bucket"]):
-                hit[(int(ep), int(rb))] = np.sort(
-                    g["doc_id"].to_numpy().astype(np.int64)
-                )
-        _TOMB_CACHE.clear()  # only one merge's tombstones stay resident
-        _TOMB_CACHE[key] = hit
+            part = _os.path.join(path, f"range_bucket={range_bucket}")
+            try:
+                t = pq.read_table(part, columns=["epoch", "doc_id"]).to_pandas()
+            except FileNotFoundError:
+                if not _os.path.isdir(path):
+                    # Table root itself is gone while the manifest says
+                    # rows exist -> fail loudly, do not drop deletes.
+                    raise
+                t = None  # this range simply has no deletes
+            if t is not None and len(t):
+                for ep, g in t.groupby("epoch"):
+                    hit[int(ep)] = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        per_merge[range_bucket] = hit
     return hit
 
 
@@ -123,19 +143,19 @@ def _merge_blocks_factory(
     n_buckets = cfg.n_term_buckets
 
     def merge_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        rb_key = int(pdf["range_bucket"].iloc[0])
         tomb = (
-            _load_tombstones(tombstone_path, tombstone_fp)
+            _load_tombstones(tombstone_path, tombstone_fp, rb_key)
             if tombstone_path
             else {}
         )
-        rb_key = int(pdf["range_bucket"].iloc[0])
         docs_parts, tf_parts, dl_parts, ep_parts = [], [], [], []
         for row in pdf.itertuples(index=False):  # rows are blocks, not postings
             n = int(row.n_docs)
             d = decode_doc_ids(int(row.first_doc), row.doc_bytes, n).astype(np.int64)
             t = pfor_decode(row.tf_bytes)
             dl = pfor_decode(row.dl_bytes)
-            dead = tomb.get((int(row.epoch), rb_key))
+            dead = tomb.get(int(row.epoch))
             if dead is not None and len(dead):
                 pos = np.searchsorted(dead, d)
                 pos = np.minimum(pos, len(dead) - 1)
@@ -263,7 +283,15 @@ def merge_indexes(
     versions = {s["analysis_version"] for s in stats}
     if len(versions) != 1:
         raise ValueError(f"mixed analysis versions: {sorted(versions)}")
-    epoch_out = max(int(s["epoch"]) for s in stats)
+    # Latest-epoch-wins is only well-defined when epochs are distinct:
+    # a same-epoch tie would tombstone one input's copy as (epoch, doc_id)
+    # and the kernel would then drop that doc from BOTH inputs' blocks.
+    epochs = [int(s["epoch"]) for s in stats]
+    if len(set(epochs)) != len(epochs):
+        raise ValueError(
+            f"merge inputs must have distinct epochs, got {sorted(epochs)}"
+        )
+    epoch_out = max(epochs)
 
     # Merged corpus stats FIRST — block-max bounds depend on avgdl.
     doclen, tombstones = _doclen_and_tombstones(spark, inputs, cfg)
@@ -271,20 +299,22 @@ def merge_indexes(
     n_docs, avgdl = int(row["n"]), float(row["a"])
 
     # Tombstones committed BEFORE any wave (idempotent overwrite, so a
-    # crash-resume rewrites the identical content). The fingerprint rides
-    # into the kernel closure and keys the per-worker cache.
-    tombstones.write.mode("overwrite").parquet(out.tombstones)
-    fp_row = (
-        spark.read.parquet(out.tombstones)
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("epoch", "range_bucket", "doc_id")), F.lit(0)
-            ).alias("h"),
-        )
-        .collect()[0]
-    )
+    # crash-resume rewrites the identical content), PARTITIONED BY
+    # range_bucket so each kernel worker reads only the delete files of
+    # the ranges it merges (see _load_tombstones). The fingerprint is
+    # computed from the deterministic source DataFrame — identical to
+    # the written content — and rides into the kernel closure to key the
+    # per-worker cache.
+    fp_row = tombstones.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("epoch", "range_bucket", "doc_id")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
     tombstone_fp = (int(fp_row["n"]), int(fp_row["h"]))
+    tombstones.write.mode("overwrite").partitionBy("range_bucket").parquet(
+        out.tombstones
+    )
 
     seg_inputs = [spark.read.parquet(p.segments) for p in inputs]
     all_buckets = sorted(

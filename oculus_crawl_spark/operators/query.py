@@ -427,6 +427,15 @@ class SearchSession:
             big = self.n_ranges_est * len(queries) * k > GATHER_SPARK_THRESHOLD
             gather = "spark" if big else "driver"
         use_fast = path == "fast" or (path is None and self._cached)
+        if use_fast and not self._cached:
+            # The fast kernel is only exact when every range_bucket's
+            # blocks are co-partitioned — which only the cache_segments
+            # repartition guarantees. On a raw scan a (term, range) group
+            # can straddle partitions and yield partial per-doc scores.
+            raise ValueError(
+                "path='fast' requires cache_segments=True "
+                "(uncached sessions must use the shuffle path)"
+            )
 
         if use_fast:
             # FAST path: plan in the closure, one narrow stage over the

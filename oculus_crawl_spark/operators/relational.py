@@ -239,21 +239,37 @@ GROUP BY c_custkey ORDER BY c_custkey
 
 
 def q_join_range_theta(spark, sf_dir):
-    """Range/theta join: pairs of events by the same user within 5 min
-    (equi on user + ts band). Catalyst turns the equi part into a hash
-    join and applies the band as a post-filter."""
-    e = _t(spark, sf_dir, "events")
+    """Range/theta join: pairs of events by the same user within 5 min.
+
+    Scale-safe BUCKETED BAND JOIN, not join-on-user-then-filter: each
+    event lands in one floor(ts/300s) bucket; since b.ts lies in
+    [a.ts, a.ts+300s], b's bucket is a's bucket or the next one, so the
+    pair space is covered EXACTLY by two disjoint equi-joins on
+    (user_id, bucket) — intermediate size is bounded per (user, 5-min
+    window), so a hot user with m events costs O(sum of per-window m_i^2),
+    not O(m^2) before the filter. The exact band + a_id < b_id theta is
+    applied after. (Self-join on one source: both conditions are
+    disjoint because every b row has exactly one bucket, so no dedup.)
+    """
+    e = _t(spark, sf_dir, "events").withColumn(
+        "bkt", F.floor(F.unix_timestamp("ts") / F.lit(300)).cast("long")
+    )
     a = e.select(
-        F.col("user_id"),
+        "user_id",
         F.col("event_id").alias("a_id"),
         F.col("ts").alias("a_ts"),
+        F.col("bkt").alias("a_bkt"),
     )
     b = e.select(
-        F.col("user_id"),
+        "user_id",
         F.col("event_id").alias("b_id"),
         F.col("ts").alias("b_ts"),
+        F.col("bkt").alias("jk"),
     )
-    pairs = a.join(b, "user_id").filter(
+    cand = a.withColumn("jk", F.col("a_bkt")).join(b, ["user_id", "jk"]).unionByName(
+        a.withColumn("jk", F.col("a_bkt") + 1).join(b, ["user_id", "jk"])
+    )
+    pairs = cand.filter(
         (F.col("a_id") < F.col("b_id"))
         & (F.col("b_ts") >= F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("interval 5 minutes"))
@@ -355,10 +371,15 @@ SELECT c_nationkey, c_custkey, rn, rnk, drnk, quartile FROM (
 """
 
 
-def q_window_running_sum(spark, sf_dir):
-    """Analytic frame: per-user running sum + lag delta over event time."""
-    e = _t(spark, sf_dir, "events")
+def q_window_frames(spark, sf_dir):
+    """Analytic frames, ROWS + RANGE in one pass over the same partition
+    key: per-user running sum and lag delta (ROWS frame) plus a trailing
+    1h event count (RANGE frame over the numeric time key). One window
+    partition spec => Catalyst evaluates all four in a single Window
+    node after one (user_id) sort."""
+    e = _t(spark, sf_dir, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
     return (
         e.select(
             "user_id",
@@ -367,42 +388,17 @@ def q_window_running_sum(spark, sf_dir):
                 F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
             ).alias("running_value"),
             F.round(F.lag("value", 1, 0.0).over(w), 4).alias("prev_value"),
+            F.count("*").over(wr).alias("n_last_hour"),
         )
         .orderBy("user_id", "event_id")
     )
 
 
-SQL_WINDOW_RUNNING_SUM = """
+SQL_WINDOW_FRAMES = """
 SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
-       round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS prev_value
-FROM events ORDER BY user_id, event_id
-"""
-
-
-def q_window_range_frame(spark, sf_dir):
-    """RANGE frame over a numeric time key: 1h trailing event count."""
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.unix_timestamp("ts")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_sec")
-        .rangeBetween(-3600, 0)
-    )
-    return (
-        e.select(
-            "user_id",
-            "event_id",
-            F.count("*").over(w).alias("n_last_hour"),
-        )
-        .orderBy("user_id", "event_id")
-    )
-
-
-SQL_WINDOW_RANGE_FRAME = """
-SELECT user_id, event_id,
+       round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS prev_value,
        count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
 FROM events ORDER BY user_id, event_id
@@ -796,8 +792,7 @@ QUERIES = {
     "rel_join_range_theta": (q_join_range_theta, SQL_JOIN_RANGE_THETA),
     "rel_join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "rel_window_ranking": (q_window_ranking, SQL_WINDOW_RANKING),
-    "rel_window_running_sum": (q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
-    "rel_window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
+    "rel_window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
     "rel_dedup_latest_per_key": (q_dedup_latest_per_key, SQL_DEDUP_LATEST_PER_KEY),
     "rel_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "rel_rollup": (q_rollup, SQL_ROLLUP),

@@ -68,15 +68,21 @@ def get_spark(
             builder = builder.config(
                 "spark.driver.extraJavaOptions", f"{prev} {apc}".strip()
             )
-    # Shuffle/spill scratch on tmpfs when available: this sandbox host
-    # shows very high kernel-time cost per filesystem syscall, and
-    # shuffle-file traffic through ext4 measurably serializes multi-core
-    # runs. On a real cluster spark.local.dir comes from the cluster
-    # config and this override is inert (SPARK_GRAFT_LOCAL_DIR=- to
-    # disable).
+    # Shuffle/spill scratch on tmpfs: this sandbox host shows very high
+    # kernel-time cost per filesystem syscall, and shuffle-file traffic
+    # through ext4 measurably serializes multi-core runs. tmpfs scratch
+    # consumes RAM, so the default only triggers when /dev/shm has
+    # generous headroom (>= 32 GiB free); set SPARK_GRAFT_LOCAL_DIR to a
+    # path to force it, or to '-' to disable. On a real cluster
+    # spark.local.dir comes from the cluster config and this is inert.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/ocs_spark_local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 << 30:
+                local_dir = "/dev/shm/ocs_spark_local"
+        except OSError:
+            pass
     if local_dir and local_dir != "-":
         builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:

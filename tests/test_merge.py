@@ -105,6 +105,104 @@ def test_merge_latest_epoch_wins(spark):
         for term in old_terms:
             expected_df = sum(1 for r in others if term in set(tokenize(r["text"])))
             assert dictionary.get(term, 0) == expected_df, term
+        # Scale contract: the tombstone table is PARTITIONED BY
+        # range_bucket on disk, so a merge worker reads only its ranges'
+        # delete files (merge.py module docstring).
+        import os
+
+        part_dirs = [
+            d
+            for d in os.listdir(f"{tmp}/merged/tombstones")
+            if d.startswith("range_bucket=")
+        ]
+        assert part_dirs, "tombstones must be written partitionBy(range_bucket)"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_rejects_same_epoch_inputs(spark):
+    """Latest-epoch-wins is undefined on an epoch tie: merging two inputs
+    that share an epoch number must fail fast, not silently tombstone a
+    doc out of both inputs' postings."""
+    tmp = tempfile.mkdtemp(prefix="ocs_sameep_")
+    try:
+        docs = _docs(spark).filter(F.col("doc_id") < 20)
+        build_index(docs.filter(F.col("doc_id") < 10), f"{tmp}/a", epoch=3)
+        build_index(docs.filter(F.col("doc_id") >= 10), f"{tmp}/b", epoch=3)
+        with pytest.raises(ValueError, match="distinct epochs"):
+            merge_indexes(spark, [f"{tmp}/a", f"{tmp}/b"], f"{tmp}/merged")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_pages_docmap_reuse(spark):
+    """The crawl -> re-crawl -> merge flow from PAGES: epoch 1 built with
+    prior_docmap keeps re-crawled urls' doc_ids (so its postings shadow
+    epoch 0's), new urls extend the dense id space, and searching the
+    merge is value-identical (per url) to a full rebuild of the final
+    corpus state."""
+    from oculus_crawl_spark.operators.build import build_index_from_pages
+    from oculus_crawl_spark.sources.pages import synthesize_pages
+
+    tmp = tempfile.mkdtemp(prefix="ocs_increm_")
+    try:
+        base = synthesize_pages(spark, SF0001).filter(
+            F.col("_expected_doc_id") < 100
+        )
+        pages0 = base.drop("_expected_doc_id", "text")
+        build_index_from_pages(pages0, f"{tmp}/ep0", epoch=0)
+
+        recrawl = (
+            base.filter(F.col("_expected_doc_id") % 10 == 0)
+            .withColumn("warc_ts", F.expr("warc_ts + interval 2 hours"))
+            .withColumn("html", F.concat("html", F.lit(b"<p>zebra zebra</p>")))
+        )
+        mirror = base.filter(F.col("_expected_doc_id") % 10 == 5).withColumn(
+            "url",
+            F.format_string("https://example.org/mirror/%012d", "_expected_doc_id"),
+        )
+        pages1 = recrawl.unionByName(mirror).drop("_expected_doc_id", "text")
+        build_index_from_pages(
+            pages1, f"{tmp}/ep1", epoch=1, prior_docmap=f"{tmp}/ep0/docmap"
+        )
+
+        dm0 = {
+            r["url"]: r["doc_id"]
+            for r in spark.read.parquet(f"{tmp}/ep0/docmap").collect()
+        }
+        dm1 = {
+            r["url"]: r["doc_id"]
+            for r in spark.read.parquet(f"{tmp}/ep1/docmap").collect()
+        }
+        assert len(dm0) == 100 and len(dm1) == 110
+        for url, did in dm0.items():  # every prior url keeps its id
+            assert dm1[url] == did, url
+        new_ids = sorted(v for u, v in dm1.items() if u not in dm0)
+        assert new_ids == list(range(100, 110))  # dense, past prior max
+
+        merge_indexes(spark, [f"{tmp}/ep0", f"{tmp}/ep1"], f"{tmp}/merged")
+
+        # Full rebuild of the FINAL corpus state (latest-per-url dedup in
+        # prepare_pages picks the re-crawl). Its id space differs, so
+        # compare per URL with k > corpus size (tie-break is id-based).
+        build_index_from_pages(pages0.unionByName(pages1), f"{tmp}/full")
+
+        def by_url(root, docmap_root):
+            url_of = {
+                r["doc_id"]: r["url"]
+                for r in spark.read.parquet(f"{docmap_root}/docmap").collect()
+            }
+            out = SearchSession(spark, root).search(
+                ["zebra", "dup scan", "the"], k=200
+            )
+            return sorted(
+                (r["query_id"], url_of[r["doc_id"]], round(r["score"], 9))
+                for r in out.collect()
+            )
+
+        assert by_url(f"{tmp}/merged", f"{tmp}/ep1") == by_url(
+            f"{tmp}/full", f"{tmp}/full"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
