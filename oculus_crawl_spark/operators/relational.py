@@ -171,43 +171,43 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
-def q_join_left_semi(spark, sf_dir):
-    """Semi join (EXISTS) — the segment-pruning primitive (Q3)."""
+def q_join_semi_anti(spark, sf_dir):
+    """left_semi (EXISTS — Q3's segment-pruning primitive) and
+    left_anti (NOT EXISTS — E14's merge-resume primitive) in ONE graded
+    entry (they are one SURVEY §2 category; merged to keep every
+    oracle-graded entry inside the driver's 50-entry window): orders
+    with a >49-quantity lineitem counted by priority, plus customers
+    without orders counted by market segment."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
-    return (
+    c = _t(spark, sf_dir, "customer")
+    semi = (
         o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-        .orderBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("semi").alias("mode"), F.col("o_orderpriority").alias("grp"), "n")
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("mode"), F.col("c_mktsegment").alias("grp"), "n")
+    )
+    return semi.unionByName(anti).orderBy("mode", "grp")
 
 
-SQL_JOIN_LEFT_SEMI = """
-SELECT o_orderpriority, count(*) AS n_orders
+SQL_JOIN_SEMI_ANTI = """
+SELECT 'semi' AS mode, o_orderpriority AS grp, count(*) AS n
 FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_quantity > 49)
-GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
-def q_join_left_anti(spark, sf_dir):
-    """Anti join (NOT EXISTS) — the merge-resume primitive (E14)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-SQL_JOIN_LEFT_ANTI = """
-SELECT c_custkey, c_mktsegment
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'anti' AS mode, c_mktsegment AS grp, count(*) AS n
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
+GROUP BY c_mktsegment
+ORDER BY mode, grp
 """
 
 
@@ -786,8 +786,7 @@ QUERIES = {
     "rel_agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
     "rel_join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
     "rel_join_multiway": (q_join_multiway, SQL_JOIN_MULTIWAY),
-    "rel_join_left_semi": (q_join_left_semi, SQL_JOIN_LEFT_SEMI),
-    "rel_join_left_anti": (q_join_left_anti, SQL_JOIN_LEFT_ANTI),
+    "rel_join_semi_anti": (q_join_semi_anti, SQL_JOIN_SEMI_ANTI),
     "rel_join_outer": (q_join_outer, SQL_JOIN_OUTER),
     "rel_join_range_theta": (q_join_range_theta, SQL_JOIN_RANGE_THETA),
     "rel_join_asof": (q_join_asof, SQL_JOIN_ASOF),

@@ -333,11 +333,143 @@ def ivf_topk(
     )
 
 
+# --- embedding-cosine near-duplicate pairs (LSH-bucketed) --------------------
+#
+# The embedding member of the dedup family (exact / Jaccard / MinHash /
+# SimHash live in operators/dedup.py): find all pairs with cosine >=
+# COSINE_DUP_THRESHOLD via random-hyperplane LSH (Charikar, STOC 2002) —
+# b tables of r sign bits each; a pair collides in a table with
+# probability (1 - theta/pi)^r — then EXACT cosine verification of the
+# candidates, so false positives cost one dot product and never reach
+# the output. Same contract as the MinHash path: the DuckDB brute-force
+# oracle IS the recall check. With r=8, b=24 a pair at cosine 0.95
+# (theta 18.2 deg) is missed w.p. (1 - 0.899^8)^24 ~ 1.3e-8; at the
+# graded corpus' weakest positive (0.968) it is ~4e-8. At scale r grows
+# with log2(n) (key space must exceed n to keep buckets O(1)) and b
+# with the recall target; the candidate join is the same fixed-width
+# (table_id, key) shuffle as the MinHash band join.
+
+COSINE_DUP_THRESHOLD = 0.9
+_HP_TABLES = 24
+_HP_BITS = 8  # sandbox key width; scale: max(8, ceil(log2(n_vecs)))
+_HP_SEED = 0xE5D
+
+
+def hyperplane_keys(emb: DataFrame, n_tables: int = _HP_TABLES, n_bits: int = _HP_BITS) -> DataFrame:
+    """(vec_id, table_id, key): r sign bits of the embedding against
+    n_tables*r fixed random hyperplanes, packed per table. One
+    vectorized (batch x dim) @ (dim x tables*r) matmul per Arrow batch;
+    planes are regenerated from the fixed seed per batch (192 x dim
+    randn — cheaper than a broadcast round-trip)."""
+    import numpy as np
+    import pandas as pd
+
+    def keys_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            P = np.random.default_rng(_HP_SEED).standard_normal(
+                (n_tables * n_bits, X.shape[1])
+            )
+            bits = (X @ P.T > 0).reshape(len(X), n_tables, n_bits)
+            keys = (bits << np.arange(n_bits, dtype=np.int64)).sum(axis=2)
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "table_id": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(X)
+                    ),
+                    "key": keys.reshape(-1),
+                }
+            )
+            yield out
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        keys_batches, "vec_id long, table_id int, key long"
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """All (a_id, b_id, cosine) with cosine >= threshold: hyperplane-LSH
+    bucket join for candidates, exact JVM-side cosine verify. Output
+    rows == the brute-force all-pairs formulation whenever every
+    positive pair collides in >= 1 table (miss probability bounded
+    above)."""
+    keyed = hyperplane_keys(emb)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    return (
+        cand.join(
+            v.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("e").alias("a_e"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "a_id",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("e").alias("b_e"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("a_e"), F.col("b_e")) / (F.col("a_nrm") * F.col("b_nrm")),
+        )
+        .filter(F.col("cosine_raw") >= threshold)
+        .select("a_id", "b_id", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 # --- driver-contract entries -------------------------------------------------
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings")
+
+
+def _blend_corpus(emb: DataFrame) -> DataFrame:
+    """Deterministic near-dup corpus for the graded entry: the testdata
+    embeddings have NO natural pairs above cosine 0.52, so (mirroring
+    dedup_exact's shifted-copy trick) each vector i gains a blended
+    near-dup  v_i + 0.25 * v_{i+1}  at id i+100000 — cosine vs v_i lands
+    in [0.968, 0.981] on this corpus while every cross pair stays below
+    0.52, a wide margin both sides of the 0.9 threshold. The blend is
+    materialized with IDENTICAL double arithmetic in Spark and the
+    DuckDB oracle so the exact-verify cosines hash-match."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    nxt = base.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("e").alias("e2")
+    )
+    blended = base.join(nxt, "vec_id").select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.zip_with("e", "e2", lambda x, y: x + F.lit(0.25) * y).alias("e"),
+    )
+    return base.unionByName(blended).select("vec_id", F.col("e").alias("embedding"))
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -387,9 +519,35 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk_indexed(spark, path, probes).orderBy("q_id", "rank")
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return embedding_near_dup_pairs(_blend_corpus(_emb(spark, sf_dir))).orderBy(
+        "a_id", "b_id"
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+blend AS (
+  SELECT a.vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(a.e) + 1), i -> a.e[i] + 0.25 * b.e[i]) AS e
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM blend),
+v AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM corpus)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     # IVF cell selection is not one-query SQL-expressible -> rows-only
     # driver check; recall vs brute force is pytest-gated.
     "ann_cosine_topk_ivf": (q_ann_ivf, None),
+    # Embedding member of the dedup family; brute-force SQL oracle IS
+    # the LSH recall check (see embedding_near_dup_pairs docstring).
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
 }

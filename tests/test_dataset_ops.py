@@ -141,6 +141,63 @@ def test_simhash_separates_near_dups_from_random(spark):
     assert np.mean(near) < np.mean(rand) / 2
 
 
+def test_batch_signature_kernels_match_perdoc_formulation():
+    """The batch-wide MinHash/SimHash kernels (one tokenize C-pass, one
+    SipHash call, reduceat segment reductions) must be BIT-IDENTICAL to
+    an independent per-document derivation — including None/empty/short
+    docs, unicode, and with the chunking forced down to split docs
+    across permutation temps."""
+    texts = [
+        None, "", "a b", "one two three", "x " * 500,
+        "Füß Straße ÉÉ 123", "dup dup dup dup", "a!b@c#1$2",
+        "the quick brown fox jumps over the lazy dog " * 8,
+    ] + [f"doc {i} term{i % 7} filler alpha beta gamma {i * 31 % 11}" for i in range(64)]
+    s = pd.Series(texts)
+
+    def perdoc_bands(txt):
+        from oculus_crawl_spark.functions.analysis import tokenize
+
+        sh = sorted(set(dedup._shingle_strings(tokenize(txt))))
+        if not sh:
+            return None
+        h = pd.util.hash_array(np.asarray(sh, dtype=object))
+        with np.errstate(over="ignore"):
+            t = h[:, None] * dedup._A + dedup._B
+            bands = t.min(axis=0).reshape(dedup.N_BANDS, dedup.ROWS_PER_BAND)
+            keys = np.zeros(dedup.N_BANDS, dtype=np.uint64)
+            for r in range(dedup.ROWS_PER_BAND):
+                keys = (keys ^ bands[:, r]) * dedup._MIX
+        return keys.astype(np.int64).tolist()
+
+    def perdoc_simhash(txt):
+        from oculus_crawl_spark.functions.analysis import tokenize
+
+        toks = tokenize(txt)
+        if not toks:
+            return 0
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        h = pd.util.hash_array(terms)
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        score = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        word = np.where(score > 0, np.uint64(1), np.uint64(0))
+        return int((word << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+    for chunk in (dedup._SIG_CHUNK, 8):  # default + forced doc-splitting
+        old = dedup._SIG_CHUNK
+        dedup._SIG_CHUNK = chunk
+        try:
+            got_b = dedup._minhash_band_keys_batch(s)
+            got_s = dedup._simhash_batch(s)
+        finally:
+            dedup._SIG_CHUNK = old
+        for i, t in enumerate(texts):
+            exp = perdoc_bands(t)
+            assert (got_b[i] is None and exp is None) or list(got_b[i]) == exp
+            assert int(got_s[i]) == perdoc_simhash(t)
+
+
 def test_minhash_signature_determinism():
     """Same text -> same band keys across separate invocations (the
     cross-executor determinism the LSH join depends on)."""
@@ -227,6 +284,42 @@ def test_ivf_assignment_is_nearest_centroid(spark):
         x = np.array(r["embedding"], dtype=np.float64)
         xn = x / np.linalg.norm(x)
         assert int(np.argmax(xn @ Cn.T)) == r["cell"]
+
+
+def test_embedding_near_dup_matches_bruteforce(spark):
+    """Hyperplane-LSH near-dup pairs == exhaustive all-pairs cosine at
+    the threshold (recall check independent of the DuckDB oracle), on
+    the blended corpus the graded entry uses."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    corpus = similarity._blend_corpus(emb)
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    ai, bi = np.where(
+        (cos >= similarity.COSINE_DUP_THRESHOLD) & (ids[:, None] < ids[None, :])
+    )
+    expected = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(ai, bi)
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.embedding_near_dup_pairs(corpus).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_hyperplane_keys_deterministic_and_bounded(spark):
+    """Keys are stable across invocations (cross-executor determinism
+    the bucket join depends on) and fit the r-bit key space."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet").limit(50)
+    a = similarity.hyperplane_keys(emb).collect()
+    b = similarity.hyperplane_keys(emb).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 50 * similarity._HP_TABLES
+    assert all(0 <= r["key"] < (1 << similarity._HP_BITS) for r in a)
 
 
 def test_decode_media_stub_raises():
