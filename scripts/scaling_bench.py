@@ -39,6 +39,44 @@ from oculus_crawl_spark.operators.build import build_index
 
 cores, rep = int(sys.argv[1]), int(sys.argv[2])
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def tree_cpu_sec() -> float:
+    # utime+stime+cutime+cstime (reaped children) of this process and
+    # every live descendant (the JVM and its pyspark worker daemons) —
+    # total CPU burned by the run so far. If CPU-per-doc stays flat
+    # across core counts, the code adds no parallel overhead and any
+    # sub-linear WALL scaling is a host resource ceiling, not the plan.
+    clk = os.sysconf("SC_CLK_TCK")
+    kids = {{}}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{pid}}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            kids.setdefault(int(parts[1]), []).append(  # ppid -> pids
+                (int(pid), sum(int(parts[i]) for i in (11, 12, 13, 14)))
+            )
+        except (OSError, IndexError, ValueError):
+            continue
+    total, stack = 0, [os.getpid()]
+    seen = set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        for child, ticks in kids.get(p, []):
+            total += ticks
+            stack.append(child)
+    try:
+        with open(f"/proc/{{os.getpid()}}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        total += sum(int(parts[i]) for i in (11, 12, 13, 14))
+    except (OSError, IndexError, ValueError):
+        pass
+    return total / clk
 spark = get_spark(
     app_name=f"ocs_scaling_{{cores}}",
     master=f"local[{{cores}}]",
@@ -62,11 +100,15 @@ corpus = docs.crossJoin(F.broadcast(reps)).select(
 n_docs = corpus.count()  # warm-up + materialize the input definition
 root = tempfile.mkdtemp(prefix=f"ocs_scale_{{cores}}_")
 try:
+    cpu0 = tree_cpu_sec()
     t0 = time.monotonic()
     result = build_index(corpus, root)
     wall = time.monotonic() - t0
+    cpu = tree_cpu_sec() - cpu0
     print(json.dumps({{"cores": cores, "n_docs": n_docs, "wall_sec": round(wall, 2),
-                       "docs_per_sec": round(n_docs / wall, 1)}}))
+                       "docs_per_sec": round(n_docs / wall, 1),
+                       "cpu_sec": round(cpu, 1),
+                       "cpu_sec_per_kdoc": round(1000 * cpu / n_docs, 3)}}))
 finally:
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
@@ -121,51 +163,13 @@ def main() -> None:
             )
         )
 
-    rows = "\n".join(
-        f"| local[{c}] | {best[c]['n_docs']:,} | {best[c]['wall_sec']} "
-        f"| {best[c]['docs_per_sec']:,} |"
-        for c in cores_needed
-    )
-    effs = "\n".join(
-        f"* **N={n} -> 4N={4 * n}: efficiency = (tput_{4 * n} / tput_{n}) / 4 "
-        f"= {eff:.3f}** (target >= 0.8)"
-        for n, _lo, _hi, eff in pairs
-    )
-    with open(os.path.join(_REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — measured performance (sandbox)
-
-Hardware: 32-core Linux sandbox (SHARED with external load — check the
-per-round note), single JVM (`local[k]`), 128 GiB.
-Input: `{sf_dir}/documents.parquet` replicated x{rep}
-({best[cores_needed[0]]["n_docs"]:,} docs; deterministic doc_id shift
-per replica, no external data). Fresh JVM per measurement; best of
-{trials} trials per config (min-wall de-noises the shared host).
-
-## Scaling efficiency (N -> 4N evidence, BASELINE.json:2,14)
-
-No real cluster exists in this sandbox; per the task rule the two
-cluster sizes are evidenced as two parallelism levels of the identical
-job on identical input. The small-N pair is the cleaner measurement on
-a shared host (both configs fit the free cores); the 8->32 pair is
-reported as well since the task asks for it — local[32] contends with
-whatever external load is present, so its efficiency is a lower bound.
-
-| config | n_docs | wall (s) | docs/sec |
-|---|---|---|---|
-{rows}
-
-{effs}
-
-## Query latency
-
-See `BENCH_r*.json` (driver-recorded): `bench.py` builds the sf0.1
-index and runs the frozen 25-query set through block-max WAND;
-`query_p95_sec` is the reported p95 (fast serving tier, coordinator
-gather).
-
-Reproduce: `python scripts/scaling_bench.py {rep} {",".join(map(str, ns))} {trials}`
-and `python bench.py`.
-""")
+    # BENCH.md is hand-maintained (scaling + ceiling + attribution +
+    # latency evidence in one narrative); this harness appends its raw
+    # result lines to BENCH_scaling.jsonl instead of overwriting it.
+    with open(os.path.join(_REPO, "BENCH_scaling.jsonl"), "a") as f:
+        for n, lo, hi, eff in pairs:
+            f.write(json.dumps({"pair": f"{n}->{4 * n}", "eff": round(eff, 3),
+                                "lo": lo, "hi": hi, "rep": rep}) + "\n")
 
 
 if __name__ == "__main__":
