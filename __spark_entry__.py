@@ -23,6 +23,7 @@ from oculus_crawl_spark.operators import (
     dedup,
     fulltext_queries,
     multimodal,
+    pipeline,
     relational,
     similarity,
     textquality,
@@ -35,7 +36,7 @@ from oculus_crawl_spark.operators.query import search
 # rel_* block, and _DEFERRED pins the two rows-only, pytest-gated
 # entries at the very end (they are the ones that may fall outside the
 # grading window).
-_OP_MODULES = (multimodal, similarity, dedup, textquality, relational)
+_OP_MODULES = (multimodal, similarity, dedup, textquality, pipeline, relational)
 _DEFERRED = ("rel_approx_distinct_telemetry", "dedup_simhash")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))

@@ -11,7 +11,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from oculus_crawl_spark.operators import dedup, multimodal, similarity
+from oculus_crawl_spark.operators import dedup, multimodal, pipeline, similarity
 
 from .conftest import SF0001
 
@@ -347,3 +347,39 @@ def test_media_features_deterministic(spark):
     d = hashlib.md5(text.encode()).hexdigest()
     assert row["fp_md5"] == d
     assert row["f0"] == int(d[0:8], 16)
+
+
+def test_clean_corpus_plan_one_shuffle_zero_python(spark):
+    """The fused prep pipeline must stay whole-stage codegen with
+    EXACTLY one exchange (the dedup groupBy) — the composition's whole
+    point is that lang-id + quality + fingerprint ride the scan
+    projection and only surviving rows pay a shuffle."""
+    df = pipeline.clean_corpus(_docs(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_clean_corpus_filters_and_collapses(spark):
+    """Survivors = (pred_lang in keep) AND (quality >= floor), derived
+    independently from the single-operator outputs; every group from
+    the doubled corpus collapses to n_copies=2 with the canonical id
+    in the original range."""
+    from oculus_crawl_spark.operators import textquality
+
+    docs = _docs(spark)
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = pipeline.clean_corpus(docs.unionByName(copies)).collect()
+    assert len(out) > 0
+    assert all(r["n_copies"] == 2 for r in out)
+    assert all(r["doc_id"] < 1_000_000 for r in out)
+    assert all(r["pred_lang"] == "en" and r["quality"] >= 0.5 for r in out)
+    qual = {r["doc_id"]: r["quality"] for r in textquality.quality_scores(docs).collect()}
+    langs = {
+        r["doc_id"]: r["pred_lang"]
+        for r in textquality.lang_id(docs.withColumn("lang", F.lit(""))).collect()
+    }
+    expected = {
+        d for d in qual if qual[d] >= 0.5 and langs[d] == "en"
+    }
+    assert {r["doc_id"] for r in out} == expected
