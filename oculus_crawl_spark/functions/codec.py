@@ -165,3 +165,120 @@ def decode_doc_ids(first_doc: int, doc_bytes: bytes, n_docs: int) -> np.ndarray:
         np.cumsum(gaps, out=out[1:])
         out[1:] += np.uint64(first_doc)
     return out
+
+
+# --- batched multi-block decode ----------------------------------------------
+#
+# The query kernel's scale bound is not the per-value work (already
+# vectorized) but the PER-BLOCK Python/numpy call overhead: a hot term
+# at 10^6+ docs spans thousands of 128-doc blocks, and ~0.15 ms of
+# fixed overhead per pfor_decode call dominates the decode. The *_many
+# variants decode an arbitrary set of blocks in ONE numpy pass: headers
+# are parsed from the concatenated buffers via strided views, blocks
+# are grouped by bit width, and each width group is unpacked with a
+# single np.unpackbits + shift-or over the whole group (block packed
+# regions are byte-aligned, so the group concatenation preserves
+# per-block bit offsets). Exceptions (rare by construction of
+# _choose_width) fall back to the per-block path.
+
+
+def pfor_decode_many(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode many pfor blocks in one vectorized pass.
+
+    Returns (values, lengths): ``values`` is the concatenation of every
+    block's decoded array in input order; ``lengths[i]`` is block i's
+    value count (0-length blocks allowed).
+    """
+    m = len(bufs)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    hsz = _HEADER.size
+    concat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    buf_lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=m)
+    buf_offs = np.concatenate(([0], np.cumsum(buf_lens)))[:-1]
+    # header: <IBI little-endian at each buffer start
+    n_arr = (
+        concat[buf_offs].astype(np.int64)
+        | (concat[buf_offs + 1].astype(np.int64) << 8)
+        | (concat[buf_offs + 2].astype(np.int64) << 16)
+        | (concat[buf_offs + 3].astype(np.int64) << 24)
+    )
+    w_arr = concat[buf_offs + 4].astype(np.int64)
+    exc_arr = (
+        concat[buf_offs + 5].astype(np.int64)
+        | (concat[buf_offs + 6].astype(np.int64) << 8)
+        | (concat[buf_offs + 7].astype(np.int64) << 16)
+        | (concat[buf_offs + 8].astype(np.int64) << 24)
+    )
+    out_offs = np.concatenate(([0], np.cumsum(n_arr)))
+    vals = np.zeros(int(out_offs[-1]), dtype=np.uint64)
+
+    plain = (exc_arr == 0) & (n_arr > 0)
+    for w in np.unique(w_arr[plain]):
+        if w == 0:
+            continue  # all-zero blocks: vals already zeroed
+        sel = np.flatnonzero(plain & (w_arr == w))
+        ns = n_arr[sel]
+        packed_bytes = (ns * w + 7) // 8
+        starts = buf_offs[sel] + hsz
+        # gather each block's packed region back-to-back (byte-aligned)
+        gather = np.concatenate(
+            [concat[s : s + pb] for s, pb in zip(starts, packed_bytes)]
+        )
+        # per-block bit base inside the gathered stream
+        byte_base = np.concatenate(([0], np.cumsum(packed_bytes)))[:-1]
+        bits = np.unpackbits(gather, bitorder="little")
+        # absolute bit index of (value v, bit j) for every block in group:
+        # base*8 + v*w + j  — build via repeat/arange, fully vectorized
+        total_vals = int(ns.sum())
+        val_base = np.repeat(byte_base * 8, ns) + (
+            np.arange(total_vals) - np.repeat(np.cumsum(ns) - ns, ns)
+        ) * w
+        group_vals = np.zeros(total_vals, dtype=np.uint64)
+        for j in range(int(w)):
+            group_vals |= bits[val_base + j].astype(np.uint64) << np.uint64(j)
+        # scatter into the output at each block's slice
+        tgt = np.repeat(out_offs[sel], ns) + (
+            np.arange(total_vals) - np.repeat(np.cumsum(ns) - ns, ns)
+        )
+        vals[tgt] = group_vals
+    # exception blocks (rare): exact per-block decode
+    for i in np.flatnonzero(exc_arr > 0):
+        vals[out_offs[i] : out_offs[i + 1]] = pfor_decode(bufs[i])
+    return vals, n_arr
+
+
+def decode_doc_ids_many(
+    first_docs: np.ndarray, doc_bufs: list[bytes], n_docs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched inverse of encode_doc_gaps over many blocks.
+
+    Returns (doc_ids, lengths) with doc_ids concatenated in input
+    order; lengths mirrors ``n_docs`` (int64).
+    """
+    m = len(doc_bufs)
+    firsts = np.ascontiguousarray(first_docs, dtype=np.uint64)
+    ns = np.ascontiguousarray(n_docs, dtype=np.int64)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    gaps, gap_lens = pfor_decode_many(doc_bufs)
+    # interleave: each block contributes [first, first+cumsum(gaps...)].
+    # Build the full gap stream with the first_doc as the leading "gap"
+    # of each block relative to a running offset, then one cumsum.
+    out_lens = ns
+    total = int(out_lens.sum())
+    full = np.empty(total, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
+    # positions of each block's first value
+    full[:] = 0
+    # scatter gaps into positions starts[i]+1 .. starts[i]+n_i-1
+    gap_starts = np.concatenate(([0], np.cumsum(gap_lens)))[:-1]
+    pos = np.repeat(starts + 1, gap_lens) + (
+        np.arange(int(gap_lens.sum())) - np.repeat(gap_starts, gap_lens)
+    )
+    full[pos] = gaps
+    csum = np.cumsum(full, dtype=np.uint64)
+    base = csum[starts]  # running sum at each block's first slot (== 0 gap)
+    adjust = firsts - base
+    out = csum + np.repeat(adjust, out_lens)
+    return out, out_lens

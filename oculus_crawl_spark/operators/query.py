@@ -57,7 +57,12 @@ from pyspark.sql import functions as F
 from ..config import DEFAULT, IndexConfig
 from ..functions import bm25
 from ..functions.analysis import tokenize
-from ..functions.codec import decode_doc_ids, pfor_decode
+from ..functions.codec import (
+    decode_doc_ids,
+    decode_doc_ids_many,
+    pfor_decode,
+    pfor_decode_many,
+)
 from .build import IndexPaths, _term_bucket_py
 
 
@@ -98,10 +103,18 @@ def _range_max(st: list[np.ndarray], lo: np.ndarray, hi: np.ndarray) -> np.ndarr
 
 class _TermBlocks:
     """All candidate blocks of one term within the group, sorted by
-    first_doc (disjoint doc ranges within a term). Decompresses blocks
-    lazily and caches them."""
+    first_doc (disjoint doc ranges within a term). Decode is BATCHED:
+    a hot term at corpus scale spans thousands of blocks, and the
+    ~0.15 ms fixed cost of a per-block decode call was the serving
+    tier's scale bound (measured: 'the' over 1.28M docs = 7,681 blocks
+    = 1.1 s of pure per-block overhead); pfor_decode_many amortizes it
+    to one numpy pass over all needed blocks."""
 
-    __slots__ = ("idf", "first", "last", "bmax", "rows", "_cache", "decoded_blocks")
+    __slots__ = (
+        "idf", "first", "last", "bmax", "n_docs",
+        "doc_bytes", "tf_bytes", "dl_bytes", "_cache", "_concat",
+        "decoded_blocks",
+    )
 
     def __init__(self, idf: float, pdf: pd.DataFrame):
         order = np.argsort(pdf["first_doc"].to_numpy(), kind="stable")
@@ -109,43 +122,123 @@ class _TermBlocks:
         self.first = pdf["first_doc"].to_numpy()[order]
         self.last = pdf["last_doc"].to_numpy()[order]
         self.bmax = idf * pdf["block_max_tf_norm"].to_numpy()[order].astype(np.float64)
-        self.rows = pdf.iloc[order]
+        self.n_docs = pdf["n_docs"].to_numpy()[order].astype(np.int64)
+        self.doc_bytes = pdf["doc_bytes"].to_numpy()[order]
+        self.tf_bytes = pdf["tf_bytes"].to_numpy()[order]
+        self.dl_bytes = pdf["dl_bytes"].to_numpy()[order]
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._concat: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self.decoded_blocks = 0
 
     def decode(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Single-block decode (seed path; cached)."""
         hit = self._cache.get(i)
         if hit is None:
-            r = self.rows.iloc[i]
             # int64 throughout the kernel: mixing uint64 with int64 in
             # searchsorted silently upcasts to float64 (lossy past 2^53).
             docs = decode_doc_ids(
-                int(r["first_doc"]), r["doc_bytes"], int(r["n_docs"])
+                int(self.first[i]), self.doc_bytes[i], int(self.n_docs[i])
             ).astype(np.int64)
-            hit = (docs, pfor_decode(r["tf_bytes"]), pfor_decode(r["dl_bytes"]))
+            hit = (
+                docs,
+                pfor_decode(self.tf_bytes[i]),
+                pfor_decode(self.dl_bytes[i]),
+            )
             self._cache[i] = hit
             self.decoded_blocks += 1
         return hit
 
+    def decode_blocks(
+        self, idxs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, dls) of the given blocks, concatenated in block
+        order — ascending doc_ids, since blocks are disjoint ranges
+        sorted by first_doc. Missing blocks are decoded in ONE batched
+        pass; decoded blocks are cached per block so a multi-query
+        batch decodes each hot block once (the kernel reuses one
+        _TermBlocks per (range, term) across the query plan)."""
+        if len(idxs) == 0:
+            e = np.empty(0, dtype=np.uint64)
+            return e.astype(np.int64), e, e
+        # Concatenated-result cache: identical block sets (the common
+        # case — a hot term whose blocks all survive, queried again in
+        # the same batch) return the SAME arrays with zero per-block
+        # Python work. Falls back to composing from the per-block cache
+        # only for genuinely new mixed sets.
+        key = (len(idxs), int(idxs[0]), int(idxs[-1]), hash(idxs.tobytes()))
+        hit = self._concat.get(key)
+        if hit is not None:
+            return hit
+        cache = self._cache
+        miss = (
+            idxs
+            if not cache
+            else np.array(
+                [i for i in idxs.tolist() if i not in cache], dtype=np.int64
+            )
+        )
+        if len(miss):
+            docs, dl_ = decode_doc_ids_many(
+                self.first[miss].astype(np.uint64),
+                list(self.doc_bytes[miss]),
+                self.n_docs[miss],
+            )
+            docs = docs.astype(np.int64)
+            tfs, _tl = pfor_decode_many(list(self.tf_bytes[miss]))
+            dls, _ll = pfor_decode_many(list(self.dl_bytes[miss]))
+            self.decoded_blocks += len(miss)
+            if len(miss) == len(idxs):
+                # fast path: the whole request was decoded contiguously —
+                # store block views for future mixed sets, return as-is.
+                offs = np.concatenate(([0], np.cumsum(dl_)))
+                for j, i in enumerate(miss.tolist()):
+                    sl = slice(int(offs[j]), int(offs[j + 1]))
+                    cache[i] = (docs[sl], tfs[sl], dls[sl])
+                out = (docs, tfs, dls)
+                self._concat[key] = out
+                return out
+            offs = np.concatenate(([0], np.cumsum(dl_)))
+            for j, i in enumerate(miss.tolist()):
+                sl = slice(int(offs[j]), int(offs[j + 1]))
+                cache[i] = (docs[sl], tfs[sl], dls[sl])
+        parts = [cache[i] for i in idxs.tolist()]
+        out = (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+        self._concat[key] = out
+        return out
+
     def score_docs(self, cand: np.ndarray, avgdl: float) -> np.ndarray:
         """Exact idf*tf_norm contribution of this term for each candidate
-        doc (0 where the doc has no posting). Decompresses only blocks
-        that can contain a candidate."""
+        doc (0 where the doc has no posting). Batch-decodes exactly the
+        blocks that can contain a candidate and scores in one pass."""
         out = np.zeros(len(cand), dtype=np.float64)
+        if not len(self.first):
+            return out
         bidx = np.searchsorted(self.first, cand, side="right") - 1
         valid = (bidx >= 0) & (cand <= self.last[np.maximum(bidx, 0)])
         if not valid.any():
             return out
-        for i in np.unique(bidx[valid]):
-            docs, tfs, dls = self.decode(int(i))
-            in_block = valid & (bidx == i)
-            pos = np.searchsorted(docs, cand[in_block])
-            pos = np.minimum(pos, len(docs) - 1)
-            hit = docs[pos] == cand[in_block]
-            if hit.any():
-                tgt = np.flatnonzero(in_block)[hit]
-                p = pos[hit]
-                out[tgt] = self.idf * bm25.tf_norm(tfs[p], dls[p], avgdl)
+        need = np.unique(bidx[valid])
+        docs, _dl = decode_doc_ids_many(
+            self.first[need].astype(np.uint64),
+            list(self.doc_bytes[need]),
+            self.n_docs[need],
+        )
+        docs = docs.astype(np.int64)
+        tfs, _ = pfor_decode_many(list(self.tf_bytes[need]))
+        dls, _ = pfor_decode_many(list(self.dl_bytes[need]))
+        self.decoded_blocks += len(need)
+        cv = cand[valid]
+        pos = np.searchsorted(docs, cv)
+        pos = np.minimum(pos, len(docs) - 1)
+        hit = docs[pos] == cv
+        if hit.any():
+            tgt = np.flatnonzero(valid)[hit]
+            p = pos[hit]
+            out[tgt] = self.idf * bm25.tf_norm(tfs[p], dls[p], avgdl)
         return out
 
 
@@ -171,13 +264,18 @@ def _bmw_topk(
     else:
         theta = -np.inf
 
-    # Per-block upper bounds: own bmax + overlap-window max of other terms.
-    surviving: list[np.ndarray] = []
+    # Per-block upper bounds: own bmax + overlap-window max of other
+    # terms. Surviving blocks are decoded ONCE (batched): their postings
+    # are simultaneously the candidate set and the bulk contributions.
     sts = [
         _sparse_table(t.bmax) if len(t.bmax) else None for t in terms
     ]
+    surv_idx: list[np.ndarray] = []
+    surv_data: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for ti, t in enumerate(terms):
         if not len(t.first):
+            surv_idx.append(np.empty(0, dtype=np.int64))
+            surv_data.append(t.decode_blocks(np.empty(0, dtype=np.int64)))
             continue
         ub = t.bmax.copy()
         for tj, o in enumerate(terms):
@@ -187,11 +285,45 @@ def _bmw_topk(
             hi = np.searchsorted(o.first, t.last, side="right")
             ub += _range_max(sts[tj], lo, hi)
         keep = ub >= theta - 1e-9  # strict-prune only; float-safe slack
-        for i in np.flatnonzero(keep):
-            surviving.append(t.decode(int(i))[0])
+        idxs = np.flatnonzero(keep)
+        surv_idx.append(idxs)
+        surv_data.append(t.decode_blocks(idxs))
 
-    cand = np.unique(np.concatenate([seed] + surviving)) if surviving else seed
-    scores = exact_scores(cand)
+    cand = np.unique(
+        np.concatenate([seed] + [d[0] for d in surv_data if len(d[0])])
+    )
+    # Exact scores: one vectorized += per term for the surviving
+    # postings (every surviving doc is in cand, and docs are unique
+    # within a term, so plain fancy-index addition is exact), plus a
+    # patch-up pass over PRUNED blocks that contain another term's
+    # candidates — pruning bounds which blocks can contribute a top-k
+    # ENTRY, not which postings exist, so exactness requires these.
+    scores = np.zeros(len(cand), dtype=np.float64)
+    for t, idxs, (sdocs, stfs, sdls) in zip(terms, surv_idx, surv_data):
+        if len(sdocs):
+            pos = np.searchsorted(cand, sdocs)
+            scores[pos] += t.idf * bm25.tf_norm(stfs, sdls, avgdl)
+        if not len(t.first):
+            continue
+        bidx = np.searchsorted(t.first, cand, side="right") - 1
+        valid = (bidx >= 0) & (cand <= t.last[np.maximum(bidx, 0)])
+        if not valid.any():
+            continue
+        need = np.unique(bidx[valid])
+        pruned = np.setdiff1d(need, idxs, assume_unique=True)
+        if not len(pruned):
+            continue
+        pdocs, ptfs, pdls = t.decode_blocks(pruned)
+        in_pruned = valid & np.isin(bidx, pruned)
+        cv = cand[in_pruned]
+        ppos = np.searchsorted(pdocs, cv)
+        ppos = np.minimum(ppos, len(pdocs) - 1)
+        hit = pdocs[ppos] == cv
+        if hit.any():
+            tgt = np.flatnonzero(in_pruned)[hit]
+            scores[tgt] += t.idf * bm25.tf_norm(
+                ptfs[ppos[hit]], pdls[ppos[hit]], avgdl
+            )
     if len(cand) > k:
         part = np.argpartition(-scores, k - 1)[:k]
         # pinned tie-break: score DESC, doc_id ASC — but argpartition's
@@ -258,12 +390,21 @@ def _wand_partition_factory(plan: list[tuple[int, dict[str, float]]], k: int, av
         }
         for rb, grb in pdf.groupby("range_bucket", sort=False):
             term_groups = dict(tuple(grb.groupby("term", sort=True)))
+            # One _TermBlocks per (range, term), shared across the whole
+            # query plan: a term's idf is query-independent, and sharing
+            # keeps the per-block decode cache warm — a 25-query batch
+            # decodes each hot block once instead of 25 times.
+            tb_cache: dict[str, _TermBlocks] = {}
             for qid, tidf in plan:
-                terms = [
-                    _TermBlocks(tidf[t], term_groups[t])
-                    for t in sorted(tidf)
-                    if t in term_groups
-                ]
+                terms = []
+                for t in sorted(tidf):
+                    if t not in term_groups:
+                        continue
+                    tb = tb_cache.get(t)
+                    if tb is None:
+                        tb = _TermBlocks(tidf[t], term_groups[t])
+                        tb_cache[t] = tb
+                    terms.append(tb)
                 if not terms:
                     continue
                 docs, scores = _bmw_topk(terms, k, avgdl)

@@ -59,3 +59,48 @@ def test_empty_and_singleton():
     assert np.array_equal(
         decode_doc_ids(12345, encode_doc_gaps(one), 1), one
     )
+
+
+@given(
+    st.lists(
+        st.lists(uint64s, min_size=0, max_size=150),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_pfor_decode_many_matches_per_block(block_lists):
+    from oculus_crawl_spark.functions.codec import pfor_decode_many
+
+    blocks = [np.array(b, dtype=np.uint64) for b in block_lists]
+    bufs = [pfor_encode(b) for b in blocks]
+    vals, lens = pfor_decode_many(bufs)
+    assert np.array_equal(lens, np.array([len(b) for b in blocks]))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    for i, b in enumerate(blocks):
+        assert np.array_equal(vals[offs[i] : offs[i + 1]], b)
+
+
+@given(
+    st.lists(
+        st.lists(uint64s, min_size=1, max_size=200, unique=True),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_decode_doc_ids_many_matches_per_block(id_lists):
+    from oculus_crawl_spark.functions.codec import decode_doc_ids_many
+
+    blocks = [np.sort(np.array(ids, dtype=np.uint64)) for ids in id_lists]
+    firsts = np.array([b[0] for b in blocks], dtype=np.uint64)
+    bufs = [encode_doc_gaps(b) for b in blocks]
+    ns = np.array([len(b) for b in blocks], dtype=np.int64)
+    out, lens = decode_doc_ids_many(firsts, bufs, ns)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    for i, b in enumerate(blocks):
+        assert np.array_equal(out[offs[i] : offs[i + 1]], b)
+        assert np.array_equal(
+            out[offs[i] : offs[i + 1]],
+            decode_doc_ids(int(firsts[i]), bufs[i], int(ns[i])),
+        )

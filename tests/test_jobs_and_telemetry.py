@@ -15,7 +15,13 @@ from .conftest import SF0001
 
 
 @pytest.mark.parametrize(
-    "script", ["jobs/build_index.py", "jobs/search.py", "jobs/merge_indexes.py"]
+    "script",
+    [
+        "jobs/build_index.py",
+        "jobs/search.py",
+        "jobs/merge_indexes.py",
+        "jobs/prepare_corpus.py",
+    ],
 )
 def test_job_cli_parses(script):
     out = subprocess.run(
@@ -54,3 +60,28 @@ def test_approx_distinct_within_bound(spark):
         (row["apx_supps"], exact["s"]),
     ]:
         assert abs(apx - ex) / ex < 0.05, (apx, ex)
+
+
+def test_prepare_corpus_job_end_to_end(spark, tmp_path):
+    """The prep job writes exactly the canonical survivors with their
+    original columns plus the pipeline signals."""
+    out = subprocess.run(
+        [
+            sys.executable, "jobs/prepare_corpus.py",
+            "--documents", f"{SF0001}/documents.parquet",
+            "--out", str(tmp_path / "clean"),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json as _json
+
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert 0 < stats["surviving_docs"] <= stats["input_docs"]
+    written = spark.read.parquet(str(tmp_path / "clean"))
+    assert written.count() == stats["surviving_docs"]
+    cols = set(written.columns)
+    assert {"doc_id", "text", "pred_lang", "quality", "n_copies"} <= cols
