@@ -149,33 +149,37 @@ def _merge_blocks_factory(
             if tombstone_path
             else {}
         )
-        docs_parts, tf_parts, dl_parts, ep_parts = [], [], [], []
-        for row in pdf.itertuples(index=False):  # rows are blocks, not postings
-            n = int(row.n_docs)
-            d = decode_doc_ids(int(row.first_doc), row.doc_bytes, n).astype(np.int64)
-            t = pfor_decode(row.tf_bytes)
-            dl = pfor_decode(row.dl_bytes)
-            dead = tomb.get(int(row.epoch))
-            if dead is not None and len(dead):
+        # Batched decode of ALL input blocks in one numpy pass (a hot
+        # term's group spans thousands of blocks at corpus scale; the
+        # per-block call overhead was the kernel bound — same fix as
+        # the query kernel). Tombstone filtering is applied per input
+        # epoch on the concatenated arrays.
+        from ..functions.codec import decode_doc_ids_many, pfor_decode_many
+
+        docs, dlens = decode_doc_ids_many(
+            pdf["first_doc"].to_numpy(dtype=np.uint64),
+            list(pdf["doc_bytes"]),
+            pdf["n_docs"].to_numpy(dtype=np.int64),
+        )
+        docs = docs.astype(np.int64)
+        tfs, _ = pfor_decode_many(list(pdf["tf_bytes"]))
+        dls, _ = pfor_decode_many(list(pdf["dl_bytes"]))
+        eps = np.repeat(pdf["epoch"].to_numpy(dtype=np.int64), dlens)
+        if tomb:
+            keep = np.ones(len(docs), dtype=bool)
+            for ep, dead in tomb.items():
+                if not len(dead):
+                    continue
+                sel = eps == ep
+                d = docs[sel]
                 pos = np.searchsorted(dead, d)
                 pos = np.minimum(pos, len(dead) - 1)
-                keep = dead[pos] != d
-                if not keep.all():
-                    d, t, dl = d[keep], t[keep], dl[keep]
-            if len(d) == 0:
-                continue
-            docs_parts.append(d)
-            tf_parts.append(t)
-            dl_parts.append(dl)
-            ep_parts.append(np.full(len(d), int(row.epoch), dtype=np.int64))
-        if not docs_parts:
+                keep[sel] = dead[pos] != d
+            docs, tfs, dls, eps = docs[keep], tfs[keep], dls[keep], eps[keep]
+        if len(docs) == 0:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in schemas.SEGMENTS.fields}
             ).iloc[:0]
-        docs = np.concatenate(docs_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
-        eps = np.concatenate(ep_parts)
 
         # Sort by (doc_id, epoch); keep the LAST (highest-epoch) posting
         # of each doc_id.
