@@ -213,11 +213,11 @@ def pfor_decode_many(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     out_offs = np.concatenate(([0], np.cumsum(n_arr)))
     vals = np.zeros(int(out_offs[-1]), dtype=np.uint64)
 
-    plain = (exc_arr == 0) & (n_arr > 0)
-    for w in np.unique(w_arr[plain]):
+    nonzero = n_arr > 0
+    for w in np.unique(w_arr[nonzero]):
         if w == 0:
-            continue  # all-zero blocks: vals already zeroed
-        sel = np.flatnonzero(plain & (w_arr == w))
+            continue  # all-zero low bits: vals already zeroed
+        sel = np.flatnonzero(nonzero & (w_arr == w))
         ns = n_arr[sel]
         packed_bytes = (ns * w + 7) // 8
         starts = buf_offs[sel] + hsz
@@ -242,9 +242,32 @@ def pfor_decode_many(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
             np.arange(total_vals) - np.repeat(np.cumsum(ns) - ns, ns)
         )
         vals[tgt] = group_vals
-    # exception blocks (rare): exact per-block decode
-    for i in np.flatnonzero(exc_arr > 0):
-        vals[out_offs[i] : out_offs[i + 1]] = pfor_decode(bufs[i])
+    # Exceptions, batched (NOT rare in practice: ~75% of real doc-gap
+    # blocks carry at least one). Varint is self-delimiting, so every
+    # block's exception stream can be concatenated and decoded in ONE
+    # varint_decode pass; per block the stream is n_exc position-deltas
+    # then n_exc high-bit values.
+    eb = np.flatnonzero((exc_arr > 0) & nonzero)
+    if len(eb):
+        packed_len = (n_arr[eb] * w_arr[eb] + 7) // 8
+        s0 = buf_offs[eb] + hsz + packed_len
+        s1 = buf_offs[eb] + buf_lens[eb]
+        stream = np.concatenate([concat[a:b] for a, b in zip(s0, s1)])
+        allv = varint_decode(stream.tobytes())
+        ne = exc_arr[eb]
+        total_exc = int(ne.sum())
+        base = np.concatenate(([0], np.cumsum(2 * ne)))[:-1]
+        within = np.arange(total_exc) - np.repeat(np.cumsum(ne) - ne, ne)
+        pd_idx = np.repeat(base, ne) + within
+        pds = allv[pd_idx].astype(np.int64)
+        his = allv[pd_idx + np.repeat(ne, ne)]
+        # positions: segmented cumsum of the deltas (encoder used
+        # diff(exc_pos, prepend=0), so cumsum within block restores pos)
+        pcs = np.cumsum(pds)
+        first_idx = np.cumsum(ne) - ne
+        pos = pcs - np.repeat(pcs[first_idx] - pds[first_idx], ne)
+        tgt = np.repeat(out_offs[eb], ne) + pos
+        vals[tgt] |= his << np.repeat(w_arr[eb], ne).astype(np.uint64)
     return vals, n_arr
 
 
@@ -282,3 +305,147 @@ def decode_doc_ids_many(
     adjust = firsts - base
     out = csum + np.repeat(adjust, out_lens)
     return out, out_lens
+
+
+def pfor_encode_many(blocks: list[np.ndarray]) -> list[bytes]:
+    """Encode many blocks in one vectorized pass (byte-identical to
+    per-block ``pfor_encode``).
+
+    Width choice is replicated exactly via a per-block bit-length
+    histogram; low bits of EVERY block (exception-bearing or not) are
+    packed per width group in one unpackbits-mirror pass, and all
+    blocks' exception streams are varint-encoded in ONE call (varint is
+    per-value, so the concatenated encoding equals the concatenation of
+    per-block encodings, sliced back apart by summed value byte counts).
+    """
+    m = len(blocks)
+    if m == 0:
+        return []
+    ns = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=m)
+    total = int(ns.sum())
+    out: list[bytes | None] = [None] * m
+    empty = np.flatnonzero(ns == 0)
+    for i in empty:
+        out[i] = _HEADER.pack(0, 0, 0)
+    if total == 0:
+        return out  # type: ignore[return-value]
+    vals = np.concatenate([np.ascontiguousarray(b, dtype=np.uint64) for b in blocks if len(b)])
+    nz = np.flatnonzero(ns > 0)
+    nz_ns = ns[nz]
+    starts = np.concatenate(([0], np.cumsum(nz_ns)))[:-1]
+    block_of = np.repeat(np.arange(len(nz)), nz_ns)
+    bits = _bit_lengths(vals)
+    # per-block histogram of bit lengths -> exact _choose_width replica
+    # (bincount on a combined key; np.add.at is an order slower)
+    hist = np.bincount(block_of * 65 + bits, minlength=len(nz) * 65).reshape(
+        len(nz), 65
+    )
+    n_ok = np.cumsum(hist, axis=1)  # n_ok[:, w] = #values with bits <= w
+    widths = np.arange(65)
+    n_exc_mat = nz_ns[:, None] - n_ok
+    cost = (nz_ns[:, None] * widths + 7) // 8 + n_exc_mat * 4
+    w_arr = np.argmin(cost, axis=1).astype(np.int64)  # first (lowest) tie
+    n_exc_arr = np.take_along_axis(n_exc_mat, w_arr[:, None], axis=1)[:, 0]
+
+    # packed low bits per block (every block, exception-bearing or not)
+    packed_of: dict[int, bytes] = {}
+    for w in np.unique(w_arr):
+        sel = np.flatnonzero(w_arr == w)
+        if w == 0:
+            for j in sel:
+                packed_of[int(j)] = b""
+            continue
+        sns = nz_ns[sel]
+        packed_bytes = (sns * w + 7) // 8
+        byte_base = np.concatenate(([0], np.cumsum(packed_bytes)))[:-1]
+        gather_vals = np.concatenate([
+            vals[starts[j] : starts[j] + int(nz_ns[j])] for j in sel
+        ])
+        if w < 64:
+            gather_vals = gather_vals & ((_U64_1 << np.uint64(w)) - _U64_1)
+        # (N, w) bit matrix in C order == per-value little bit stream;
+        # each block's bits are then a CONTIGUOUS slice of the ravel,
+        # copied (memcpy) into its byte-aligned slot. Built via a
+        # per-bit-position loop with preallocated output: numpy's
+        # BROADCAST uint64 shift takes a generic inner loop (~25x
+        # slower than the contiguous same-shape shift).
+        bitmat = np.empty((len(gather_vals), int(w)), dtype=np.uint8)
+        for j in range(int(w)):
+            np.bitwise_and(
+                gather_vals >> np.uint64(j),
+                _U64_1,
+                out=bitmat[:, j],
+                casting="unsafe",
+            )
+        flat = bitmat.ravel()
+        bitbuf = np.zeros(int(packed_bytes.sum()) * 8, dtype=np.uint8)
+        vstart = np.concatenate(([0], np.cumsum(sns)))[:-1]
+        for idx in range(len(sel)):
+            nbits = int(sns[idx]) * int(w)
+            b0 = int(byte_base[idx]) * 8
+            f0 = int(vstart[idx]) * int(w)
+            bitbuf[b0 : b0 + nbits] = flat[f0 : f0 + nbits]
+        packed = np.packbits(bitbuf, bitorder="little").tobytes()
+        for idx, j in enumerate(sel):
+            s = int(byte_base[idx])
+            packed_of[int(j)] = packed[s : s + int(packed_bytes[idx])]
+
+    # exception streams, batched: per block varint(pos_deltas) then
+    # varint(high bits); all blocks' values interleaved in that order
+    # and encoded with ONE varint_encode, sliced by per-value byte
+    # counts (nbytes(v) = max(1, (bitlen+6)//7), the LEB128 width).
+    exc_slice: dict[int, bytes] = {}
+    eb = np.flatnonzero(n_exc_arr > 0)
+    if len(eb):
+        w_of_val = w_arr[block_of]
+        exc_mask = bits > w_of_val
+        exc_pos_global = np.flatnonzero(exc_mask)
+        e_block = block_of[exc_pos_global]
+        pos_in_block = exc_pos_global - starts[e_block]
+        ne = n_exc_arr[eb]
+        # deltas: diff within block with prepend=0
+        firsts_mask = np.concatenate(([True], e_block[1:] != e_block[:-1]))
+        deltas = np.empty(len(pos_in_block), dtype=np.uint64)
+        deltas[firsts_mask] = pos_in_block[firsts_mask].astype(np.uint64)
+        deltas[~firsts_mask] = (
+            pos_in_block[~firsts_mask] - pos_in_block[:-1][~firsts_mask[1:]]
+        ).astype(np.uint64)
+        highs = vals[exc_pos_global] >> w_of_val[exc_pos_global].astype(np.uint64)
+        # interleave [deltas_b0, highs_b0, deltas_b1, highs_b1, ...]
+        total_exc = int(ne.sum())
+        base2 = np.concatenate(([0], np.cumsum(2 * ne)))[:-1]
+        within = np.arange(total_exc) - np.repeat(np.cumsum(ne) - ne, ne)
+        pd_idx = np.repeat(base2, ne) + within
+        inter = np.empty(2 * total_exc, dtype=np.uint64)
+        inter[pd_idx] = deltas
+        inter[pd_idx + np.repeat(ne, ne)] = highs
+        stream = varint_encode(inter)
+        vb = np.maximum(1, (_bit_lengths(inter) + 6) // 7)
+        vb_cum = np.concatenate(([0], np.cumsum(vb)))
+        stream_base = vb_cum[base2]
+        stream_end = vb_cum[base2 + 2 * ne]
+        for idx, j in enumerate(eb):
+            exc_slice[int(j)] = stream[
+                int(stream_base[idx]) : int(stream_end[idx])
+            ]
+
+    for j in range(len(nz)):
+        out[int(nz[j])] = (
+            _HEADER.pack(int(nz_ns[j]), int(w_arr[j]), int(n_exc_arr[j]))
+            + packed_of[j]
+            + exc_slice.get(j, b"")
+        )
+    return out  # type: ignore[return-value]
+
+
+def encode_doc_gaps_many(blocks: list[np.ndarray]) -> list[bytes]:
+    """Batched ``encode_doc_gaps``: per-block diff is computed on the
+    concatenation with block boundaries fixed up, then one
+    ``pfor_encode_many`` pass."""
+    m = len(blocks)
+    if m == 0:
+        return []
+    gap_blocks = [
+        np.diff(np.ascontiguousarray(b, dtype=np.uint64)) for b in blocks
+    ]
+    return pfor_encode_many(gap_blocks)

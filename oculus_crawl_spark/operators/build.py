@@ -50,9 +50,13 @@ from ..functions import bm25
 from ..functions.analysis import extract_text_udf, tokenize_udf
 from ..functions.codec import (
     decode_doc_ids,
+    decode_doc_ids_many,
     encode_doc_gaps,
+    encode_doc_gaps_many,
     pfor_decode,
+    pfor_decode_many,
     pfor_encode,
+    pfor_encode_many,
 )
 from ..sources.tables import read_engine_table, write_table
 
@@ -362,8 +366,8 @@ def _encode_runs_partition(batches) -> "pd.DataFrame":
     dls = pdf["dl"].to_numpy().astype(np.uint64)
     out = {k: [] for k in (
         "term_id", "range_bucket", "salt", "n_docs", "first_doc",
-        "doc_bytes", "tf_bytes", "dl_bytes",
     )}
+    d_slices, t_slices, l_slices = [], [], []
     for s, e in _group_slices(tids, rbs, salts):
         d = docs[s:e]  # already doc_id-sorted within the group
         out["term_id"].append(tids[s])
@@ -371,10 +375,18 @@ def _encode_runs_partition(batches) -> "pd.DataFrame":
         out["salt"].append(salts[s])
         out["n_docs"].append(e - s)
         out["first_doc"].append(np.int64(d[0]))
-        out["doc_bytes"].append(encode_doc_gaps(d))
-        out["tf_bytes"].append(pfor_encode(tfs[s:e]))
-        out["dl_bytes"].append(pfor_encode(dls[s:e]))
-    res = pd.DataFrame(out)
+        d_slices.append(d)
+        t_slices.append(tfs[s:e])
+        l_slices.append(dls[s:e])
+    # batched run encode (per-group encode calls were the kernel's
+    # fixed-cost bound on partitions with many small groups)
+    out["doc_bytes"] = encode_doc_gaps_many(d_slices)
+    out["tf_bytes"] = pfor_encode_many(t_slices)
+    out["dl_bytes"] = pfor_encode_many(l_slices)
+    res = pd.DataFrame(out)[[
+        "term_id", "range_bucket", "salt", "n_docs", "first_doc",
+        "doc_bytes", "tf_bytes", "dl_bytes",
+    ]]
     res["salt"] = res["salt"].astype(np.int32)
     res["n_docs"] = res["n_docs"].astype(np.int32)
     yield res
@@ -397,16 +409,30 @@ def _merge_runs_partition_factory(avgdl: float, epoch: int, cfg: IndexConfig):
         out = {k: [] for k in (
             "term_id", "range_bucket", "block_id", "first_doc",
             "last_doc", "n_docs", "sum_tf", "block_max_tf_norm",
-            "doc_bytes", "tf_bytes", "dl_bytes", "epoch",
+            "epoch",
         )}
+        # ALL runs of the partition are decoded in ONE batched pass
+        # (per-group decode calls were fixed cost on group-heavy
+        # partitions); a group's values are then the contiguous slice
+        # [row_offs[s], row_offs[e]) since rows are group-sorted.
+        # Output block payloads are likewise collected and encoded in
+        # ONE batched pass at the end (~0.25 ms per per-block call).
+        all_docs, run_lens = decode_doc_ids_many(
+            pdf["first_doc"].to_numpy(dtype=np.uint64),
+            list(pdf["doc_bytes"]),
+            pdf["n_docs"].to_numpy(dtype=np.int64),
+        )
+        all_tfs, _ = pfor_decode_many(list(pdf["tf_bytes"]))
+        all_dls, _ = pfor_decode_many(list(pdf["dl_bytes"]))
+        row_offs = np.concatenate(([0], np.cumsum(run_lens)))
+        d_slices: list[np.ndarray] = []
+        t_slices: list[np.ndarray] = []
+        l_slices: list[np.ndarray] = []
         for s, e in _group_slices(tids, rbs):
-            g = pdf.iloc[s:e]
-            docs = np.concatenate([
-                decode_doc_ids(fd, db, nd)
-                for fd, db, nd in zip(g["first_doc"], g["doc_bytes"], g["n_docs"])
-            ])
-            tfs = np.concatenate([pfor_decode(b) for b in g["tf_bytes"]])
-            dls = np.concatenate([pfor_decode(b) for b in g["dl_bytes"]])
+            v0, v1 = int(row_offs[s]), int(row_offs[e])
+            docs = all_docs[v0:v1]
+            tfs = all_tfs[v0:v1]
+            dls = all_dls[v0:v1]
             order = np.argsort(docs, kind="stable")  # docs unique across salts
             docs, tfs, dls = docs[order], tfs[order], dls[order]
             tf_norms = bm25.tf_norm(tfs, dls, avgdl)
@@ -423,11 +449,19 @@ def _merge_runs_partition_factory(avgdl: float, epoch: int, cfg: IndexConfig):
                 out["block_max_tf_norm"].append(
                     np.float32(tf_norms[start : start + bs].max())
                 )
-                out["doc_bytes"].append(encode_doc_gaps(d))
-                out["tf_bytes"].append(pfor_encode(t))
-                out["dl_bytes"].append(pfor_encode(dls[start : start + bs]))
+                d_slices.append(d)
+                t_slices.append(t)
+                l_slices.append(dls[start : start + bs])
                 out["epoch"].append(epoch)
-        res = pd.DataFrame(out)
+        out["doc_bytes"] = encode_doc_gaps_many(d_slices)
+        out["tf_bytes"] = pfor_encode_many(t_slices)
+        out["dl_bytes"] = pfor_encode_many(l_slices)
+        # column order must match _BLOCKS_SCHEMA (position-matched)
+        res = pd.DataFrame(out)[[
+            "term_id", "range_bucket", "block_id", "first_doc",
+            "last_doc", "n_docs", "sum_tf", "block_max_tf_norm",
+            "doc_bytes", "tf_bytes", "dl_bytes", "epoch",
+        ]]
         res["block_id"] = res["block_id"].astype(np.int32)
         res["n_docs"] = res["n_docs"].astype(np.int32)
         res["block_max_tf_norm"] = res["block_max_tf_norm"].astype(np.float32)

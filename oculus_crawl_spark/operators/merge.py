@@ -193,7 +193,10 @@ def _merge_blocks_factory(
         tb = _term_bucket_py(term, n_buckets)
         tf_norms = bm25.tf_norm(tfs, dls, avgdl)
 
+        from ..functions.codec import encode_doc_gaps_many, pfor_encode_many
+
         rows = []
+        d_slices, t_slices, l_slices = [], [], []
         for bid, start in enumerate(range(0, len(docs), bs)):
             d = docs[start : start + bs]
             t = tfs[start : start + bs]
@@ -208,13 +211,24 @@ def _merge_blocks_factory(
                     "n_docs": np.int32(len(d)),
                     "sum_tf": np.int64(t.sum()),
                     "block_max_tf_norm": np.float32(tf_norms[start : start + bs].max()),
-                    "doc_bytes": encode_doc_gaps(d.astype(np.uint64)),
-                    "tf_bytes": pfor_encode(t),
-                    "dl_bytes": pfor_encode(dls[start : start + bs]),
                     "epoch": np.int64(epoch_out),
                 }
             )
-        return pd.DataFrame(rows)
+            d_slices.append(d.astype(np.uint64))
+            t_slices.append(t)
+            l_slices.append(dls[start : start + bs])
+        # batched block encode (same per-block fixed-cost bound as the
+        # build/query kernels)
+        for row, db, tb_, lb in zip(
+            rows,
+            encode_doc_gaps_many(d_slices),
+            pfor_encode_many(t_slices),
+            pfor_encode_many(l_slices),
+        ):
+            row["doc_bytes"] = db
+            row["tf_bytes"] = tb_
+            row["dl_bytes"] = lb
+        return pd.DataFrame(rows)[[f.name for f in schemas.SEGMENTS.fields]]
 
     return merge_blocks
 
