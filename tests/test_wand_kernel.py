@@ -97,3 +97,63 @@ def test_block_max_soundness(data):
             bd, bt, bl = tb.decode(i)
             true_max = (idf * bm25.tf_norm(bt, bl, _AVGDL)).max()
             assert true_max <= tb.bmax[i] + 1e-12
+
+
+def test_term_blocks_decode_blocks_cache_mixing():
+    """decode_blocks must return identical arrays across all cache
+    states: cold batch, full re-request (concat-cache hit), a subset
+    after a full decode (per-block cache path), and a superset after a
+    partial decode (mixed hit/miss path) — and agree with single-block
+    decode()."""
+    import numpy as np
+    import pandas as pd
+
+    from oculus_crawl_spark.functions.codec import encode_doc_gaps, pfor_encode
+    from oculus_crawl_spark.operators.query import _TermBlocks
+
+    rng = np.random.default_rng(31)
+    rows = []
+    base = 0
+    for b in range(12):
+        n = int(rng.integers(1, 60))
+        docs = np.sort(rng.choice(500, n, replace=False)).astype(np.uint64) + base
+        tfs = rng.integers(1, 20, n).astype(np.uint64)
+        dls = rng.integers(20, 400, n).astype(np.uint64)
+        rows.append({
+            "first_doc": int(docs[0]), "last_doc": int(docs[-1]),
+            "n_docs": n, "block_max_tf_norm": 1.0,
+            "doc_bytes": encode_doc_gaps(docs),
+            "tf_bytes": pfor_encode(tfs), "dl_bytes": pfor_encode(dls),
+        })
+        base += 600
+    pdf = pd.DataFrame(rows)
+
+    def fresh():
+        return _TermBlocks(1.5, pdf)
+
+    all_idx = np.arange(12, dtype=np.int64)
+    ref = fresh().decode_blocks(all_idx)
+
+    # cold subset then superset (mixed path)
+    tb = fresh()
+    sub = np.array([2, 5, 9], dtype=np.int64)
+    got_sub = tb.decode_blocks(sub)
+    got_all = tb.decode_blocks(all_idx)
+    for a, b in zip(got_all, ref):
+        assert np.array_equal(a, b)
+    # subset again (per-block cache path) matches slices of ref
+    got_sub2 = tb.decode_blocks(sub)
+    for a, b in zip(got_sub2, got_sub):
+        assert np.array_equal(a, b)
+    # concat-cache hit returns the same arrays
+    got_all2 = tb.decode_blocks(all_idx)
+    for a, b in zip(got_all2, got_all):
+        assert np.array_equal(a, b)
+    # seed-path single decode agrees
+    tb2 = fresh()
+    d0 = tb2.decode(3)
+    off = int(np.cumsum(pdf["n_docs"].to_numpy())[2])
+    n3 = int(pdf["n_docs"].iloc[3])
+    assert np.array_equal(d0[0], ref[0][off : off + n3])
+    assert np.array_equal(d0[1], ref[1][off : off + n3])
+    assert np.array_equal(d0[2], ref[2][off : off + n3])
