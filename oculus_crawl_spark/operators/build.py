@@ -49,13 +49,9 @@ from ..config import DEFAULT, IndexConfig
 from ..functions import bm25
 from ..functions.analysis import extract_text_udf, tokenize_udf
 from ..functions.codec import (
-    decode_doc_ids,
     decode_doc_ids_many,
-    encode_doc_gaps,
     encode_doc_gaps_many,
-    pfor_decode,
     pfor_decode_many,
-    pfor_encode,
     pfor_encode_many,
 )
 from ..sources.tables import read_engine_table, write_table

@@ -65,7 +65,6 @@ from pyspark.sql import functions as F
 from .. import schemas
 from ..config import DEFAULT, IndexConfig
 from ..functions import bm25
-from ..functions.codec import decode_doc_ids, encode_doc_gaps, pfor_decode, pfor_encode
 from .build import IndexPaths, _term_bucket_py
 
 
