@@ -63,6 +63,36 @@ def perdoc_simhash(text: pd.Series) -> pd.Series:
     return text.map(one)
 
 
+def perpair_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The replaced per-pair exact-verify (round-3 code): re-tokenize and
+    re-shingle both texts of EVERY candidate pair, Python set Jaccard."""
+    jac = [
+        D.jaccard_tokens(tokenize(ta), tokenize(tb))
+        for ta, tb in zip(pdf["a_text"], pdf["b_text"])
+    ]
+    out = pdf[["a_id", "b_id"]].copy()
+    out["jaccard"] = np.round(np.asarray(jac, dtype=np.float64), 6)
+    return out
+
+
+def candidate_pairs_frame(texts: np.ndarray, fanout: int) -> pd.DataFrame:
+    """Duplication-heavy candidate set: each doc appears in ~2*fanout
+    pairs (candidates ~ true near-dup pairs on a duplicated corpus)."""
+    n = len(texts)
+    a, b = [], []
+    for step in range(1, fanout + 1):
+        a.extend(range(n))
+        b.extend((i + step) % n for i in range(n))
+    return pd.DataFrame(
+        {
+            "a_id": np.asarray(a, dtype=np.int64),
+            "b_id": np.asarray(b, dtype=np.int64),
+            "a_text": texts[np.asarray(a)],
+            "b_text": texts[np.asarray(b)],
+        }
+    )
+
+
 def best_of(fn, series, trials):
     best = float("inf")
     for _ in range(trials):
@@ -103,6 +133,24 @@ def main() -> None:
             "speedup": round(t_old / t_new, 2),
             "docs_per_sec_batch": round(len(s) / t_new),
         }
+
+    # Exact-verify stage A/B (round-4): per-pair tokenize+set Jaccard vs
+    # batch-wide unique-doc hashing + searchsorted intersection.
+    pairs = candidate_pairs_frame(texts, fanout=4)
+    a = perpair_verify(pairs.head(2000))
+    b = D._verify_pairs(pairs.head(2000))
+    assert (a["jaccard"].to_numpy() == b["jaccard"].to_numpy()).all(), (
+        "batched verify != per-pair formulation"
+    )
+    t_old = best_of(perpair_verify, pairs, trials)
+    t_new = best_of(D._verify_pairs, pairs, trials)
+    out["minhash_verify"] = {
+        "n_pairs": int(len(pairs)),
+        "perpair_sec": round(t_old, 3),
+        "batch_sec": round(t_new, 3),
+        "speedup": round(t_old / t_new, 2),
+        "pairs_per_sec_batch": round(len(pairs) / t_new),
+    }
     print(json.dumps(out))
 
 

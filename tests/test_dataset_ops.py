@@ -213,6 +213,43 @@ def test_jaccard_tokens_pure():
     assert dedup.jaccard_tokens(a, ["q", "r", "s"]) == 0.0
 
 
+def test_batched_verify_matches_perpair_string_jaccard():
+    """The batched exact-verify kernel (unique docs shingle-hashed once,
+    per-pair searchsorted intersection over sorted-unique hash arrays)
+    must reproduce the per-pair string-set formulation exactly —
+    including empty/short texts, repeated docs across pairs, unicode,
+    and shingle multisets (duplicate shingles must count once)."""
+    from oculus_crawl_spark.functions.analysis import tokenize
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy cat",
+        2: "",
+        3: "a b",  # too short for a 3-shingle
+        4: "x y z x y z x y z x y z",  # duplicate shingles
+        5: "Füß Straße one two three four five",
+        6: "one two three four five six seven eight",
+        7: "the quick brown fox jumps over the lazy dog",  # dup of 0
+    }
+    pairs = [(0, 1), (0, 7), (2, 3), (3, 4), (4, 4), (5, 6), (1, 6), (0, 1)]
+    pdf = pd.DataFrame(
+        {
+            "a_id": [a for a, _ in pairs],
+            "b_id": [b for _, b in pairs],
+            "a_text": [texts[a] for a, _ in pairs],
+            "b_text": [texts[b] for _, b in pairs],
+        }
+    )
+    got = dedup._verify_pairs(pdf)
+    for row, (a, b) in zip(got.itertuples(index=False), pairs):
+        exp = round(dedup.jaccard_tokens(tokenize(texts[a]), tokenize(texts[b])), 6)
+        assert (row.a_id, row.b_id) == (a, b)
+        assert abs(row.jaccard - exp) < 1e-12, (a, b, row.jaccard, exp)
+    # Empty batch keeps the schema (mapInPandas requires it).
+    empty = dedup._verify_pairs(pdf.iloc[0:0])
+    assert list(empty.columns) == ["a_id", "b_id", "jaccard"] and len(empty) == 0
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """ANN recall@5 at nprobe=3 of 10 cells (~30% scan). This corpus'
     embeddings are near-random 64-d vectors (weak neighbor structure),
