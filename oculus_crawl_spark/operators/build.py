@@ -102,15 +102,47 @@ class IndexPaths:
 # --- term bucketing (shared by build + dictionary + query pruning) -----------
 
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
 def _term_bucket_py(term: str, n_buckets: int) -> int:
     """Deterministic term bucket, identical on driver and executors.
 
     Python's builtin hash() is salted per process => unusable. FNV-1a over
-    UTF-8 is stable, cheap, and dependency-free."""
-    h = 0xCBF29CE484222325
+    UTF-8 is stable, cheap, and dependency-free. Scalar form — used for
+    driver-side query routing (a handful of terms); the executor-side
+    vocabulary pass uses the batch-wide ``_term_bucket_np``."""
+    h = _FNV_OFFSET
     for byte in term.encode("utf-8"):
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        h = ((h ^ byte) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
     return int(h % n_buckets)
+
+
+def _term_bucket_np(terms: pd.Series, n_buckets: int) -> np.ndarray:
+    """Batch-wide FNV-1a term buckets — same constants and byte order as
+    ``_term_bucket_py`` (pytest-pinned on random unicode), but the hash
+    state advances for ALL terms at once, one vectorized xor/multiply
+    per BYTE POSITION (max term length, ~tens) instead of a Python loop
+    per row per byte. At a web vocabulary (10^8-10^9 terms) the per-row
+    scalar UDF was the dictionary stage's Python-loop bound."""
+    enc = terms.fillna("").str.encode("utf-8")
+    lens = enc.str.len().to_numpy().astype(np.int64)
+    n = len(lens)
+    out_h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    total = int(lens.sum())
+    if total:
+        flat = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
+        starts = np.cumsum(lens) - lens
+        prime = np.uint64(_FNV_PRIME)
+        with np.errstate(over="ignore"):
+            for j in range(int(lens.max())):
+                alive = np.flatnonzero(lens > j)
+                h = out_h[alive]
+                h ^= flat[starts[alive] + j].astype(np.uint64)
+                h *= prime
+                out_h[alive] = h
+    return (out_h % np.uint64(n_buckets)).astype(np.int64)
 
 
 # --- E2: filter + dedup, E1: extraction, docID assignment --------------------
@@ -262,7 +294,7 @@ def term_dimension(postings_raw: DataFrame, cfg: IndexConfig = DEFAULT) -> DataF
 
     @F.pandas_udf(T.IntegerType())
     def bucket_udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: _term_bucket_py(t, n_buckets))
+        return pd.Series(_term_bucket_np(s, n_buckets).astype(np.int32))
 
     vocab = postings_raw.select("term").distinct()
     return assign_dense_ids(vocab, "term", "term_id").withColumn(

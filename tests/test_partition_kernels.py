@@ -77,3 +77,28 @@ def test_dense_id_offsets_are_a_permutation(keys, n_buckets):
             ids.append(offsets[b] + consumed.get(b, 0))
             consumed[b] = consumed.get(b, 0) + 1
     assert sorted(ids) == list(range(len(keys)))
+
+
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=40),  # full unicode incl. empty/astral
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=150, deadline=None)
+def test_term_bucket_np_matches_scalar(terms, n_buckets):
+    """The batch-wide FNV-1a bucket kernel must be value-identical to the
+    scalar routing function on arbitrary unicode — same constants, same
+    UTF-8 byte order, same modulus."""
+    import pandas as pd
+
+    from oculus_crawl_spark.operators.build import (
+        _term_bucket_np,
+        _term_bucket_py,
+    )
+
+    got = _term_bucket_np(pd.Series(terms, dtype=object), n_buckets)
+    exp = np.array([_term_bucket_py(t, n_buckets) for t in terms])
+    assert (got == exp).all()
