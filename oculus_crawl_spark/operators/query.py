@@ -127,7 +127,7 @@ class _TermBlocks:
         self.tf_bytes = pdf["tf_bytes"].to_numpy()[order]
         self.dl_bytes = pdf["dl_bytes"].to_numpy()[order]
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        self._concat: dict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._concat: dict[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self.decoded_blocks = 0
 
     def decode(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -164,8 +164,14 @@ class _TermBlocks:
         # case — a hot term whose blocks all survive, queried again in
         # the same batch) return the SAME arrays with zero per-block
         # Python work. Falls back to composing from the per-block cache
-        # only for genuinely new mixed sets.
-        key = (len(idxs), int(idxs[0]), int(idxs[-1]), hash(idxs.tobytes()))
+        # only for genuinely new mixed sets. Keyed on the EXACT index
+        # bytes (a 64-bit hash could collide between two different sets
+        # sharing len/first/last and silently return wrong postings) and
+        # bounded — distinct mixed sets across a long multi-query batch
+        # would otherwise grow it without limit.
+        key = idxs.astype(np.int64, copy=False).tobytes()
+        if len(self._concat) > 64:
+            self._concat.clear()
         hit = self._concat.get(key)
         if hit is not None:
             return hit
@@ -212,8 +218,11 @@ class _TermBlocks:
 
     def score_docs(self, cand: np.ndarray, avgdl: float) -> np.ndarray:
         """Exact idf*tf_norm contribution of this term for each candidate
-        doc (0 where the doc has no posting). Batch-decodes exactly the
-        blocks that can contain a candidate and scores in one pass."""
+        doc (0 where the doc has no posting). Decodes exactly the blocks
+        that can contain a candidate THROUGH the shared block cache
+        (decode_blocks) — a multi-query batch that probes the same hot
+        blocks decodes them once, and decoded_blocks counts true decode
+        work, never re-decodes."""
         out = np.zeros(len(cand), dtype=np.float64)
         if not len(self.first):
             return out
@@ -222,15 +231,7 @@ class _TermBlocks:
         if not valid.any():
             return out
         need = np.unique(bidx[valid])
-        docs, _dl = decode_doc_ids_many(
-            self.first[need].astype(np.uint64),
-            list(self.doc_bytes[need]),
-            self.n_docs[need],
-        )
-        docs = docs.astype(np.int64)
-        tfs, _ = pfor_decode_many(list(self.tf_bytes[need]))
-        dls, _ = pfor_decode_many(list(self.dl_bytes[need]))
-        self.decoded_blocks += len(need)
+        docs, tfs, dls = self.decode_blocks(need)
         cv = cand[valid]
         pos = np.searchsorted(docs, cv)
         pos = np.minimum(pos, len(docs) - 1)
@@ -407,12 +408,18 @@ def _wand_partition_factory(plan: list[tuple[int, dict[str, float]]], k: int, av
                     terms.append(tb)
                 if not terms:
                     continue
+                # decoded_blocks accumulates across the whole query batch
+                # (the _TermBlocks are shared per (range, term)); report
+                # this query's decode work as the delta, so a later query
+                # can never report more decodes than blocks (it reports
+                # 0 when the batch cache was already warm).
+                before = sum(t.decoded_blocks for t in terms)
                 docs, scores = _bmw_topk(terms, k, avgdl)
                 n = len(docs)
                 if n == 0:
                     continue
                 total = int(sum(len(t.first) for t in terms))
-                decoded = int(sum(t.decoded_blocks for t in terms))
+                decoded = int(sum(t.decoded_blocks for t in terms) - before)
                 out["query_id"].extend([qid] * n)
                 out["doc_id"].extend(docs.astype(np.int64).tolist())
                 out["score"].extend(scores.tolist())
@@ -669,6 +676,11 @@ class SearchSession:
         )
 
 
+# Resident sessions are heavyweight (persisted segments + resident
+# dictionary), so the per-process cache is a small LRU: a long-lived
+# serving process that touches many index roots unpersists the
+# least-recently-used session instead of pinning every root forever.
+SESSION_CACHE_CAP = 8
 _SESSION_CACHE: dict[str, tuple[tuple, SearchSession]] = {}
 
 
@@ -708,10 +720,17 @@ def search(
     if hit is None or hit[0] != sig or hit[1].spark is not spark:
         if hit is not None:
             hit[1].invalidate()
+            del _SESSION_CACHE[index_root]
+        while len(_SESSION_CACHE) >= SESSION_CACHE_CAP:
+            # LRU eviction: dicts iterate in insertion order and a cache
+            # hit re-inserts below, so the first key is least recent.
+            lru = next(iter(_SESSION_CACHE))
+            _SESSION_CACHE.pop(lru)[1].invalidate()
         sess = SearchSession(spark, index_root, cfg)
-        _SESSION_CACHE[index_root] = (sig, sess)
     else:
         sess = hit[1]
+        del _SESSION_CACHE[index_root]  # re-insert => most recent
+    _SESSION_CACHE[index_root] = (sig, sess)
     return sess.search(queries, k=k, with_metrics=with_metrics)
 
 

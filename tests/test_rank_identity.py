@@ -171,3 +171,56 @@ def test_auto_gather_switches_on_scale(spark, index_sf0001):
     finally:
         qmod.GATHER_SPARK_THRESHOLD = old
     assert a == b
+
+
+def test_metrics_decoded_never_exceeds_total(spark, index_sf0001):
+    """Per-query decode telemetry is a snapshot delta over the shared
+    per-(range,term) block cache: a repeated query in the same batch must
+    report blocks_decoded <= blocks_total (0 decodes on a warm cache),
+    never a cross-query accumulation."""
+    from oculus_crawl_spark.operators.query import SearchSession
+
+    sess = SearchSession(spark, index_sf0001)
+    out = sess.search(
+        ["the scan column", "the scan column", "the"], k=10, with_metrics=True
+    ).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        assert 0 <= r["blocks_decoded"] <= r["blocks_total"], dict(r.asDict())
+        per_q[r["query_id"]] = (r["blocks_total"], r["blocks_decoded"])
+    # Identical queries see the same totals; the repeat rides the warm
+    # cache, so its decode delta cannot exceed the first run's.
+    assert per_q[0][0] == per_q[1][0]
+    assert per_q[1][1] <= per_q[0][1]
+
+
+def test_session_cache_lru_eviction(spark, index_sf0001, tmp_path):
+    """At cap 1, searching a second index root must evict (and unpersist)
+    the first root's resident session."""
+    from oculus_crawl_spark.operators import query as qmod
+    from oculus_crawl_spark.operators.build import build_index
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select("doc_id", "text")
+    other = str(tmp_path / "idx2")
+    build_index(docs.filter("doc_id < 40"), other)
+
+    old_cap, old_cache = qmod.SESSION_CACHE_CAP, dict(qmod._SESSION_CACHE)
+    qmod._SESSION_CACHE.clear()
+    try:
+        qmod.SESSION_CACHE_CAP = 1
+        search(spark, index_sf0001, ["dup"], k=5).collect()
+        assert list(qmod._SESSION_CACHE) == [index_sf0001]
+        first = qmod._SESSION_CACHE[index_sf0001][1]
+        assert first._segments.is_cached
+        search(spark, other, ["dup"], k=5).collect()
+        assert list(qmod._SESSION_CACHE) == [other]
+        assert not first._segments.is_cached  # evicted AND unpersisted
+        # The evicted root still works (fresh session on next use).
+        assert search(spark, index_sf0001, ["dup"], k=5).collect()
+    finally:
+        qmod.SESSION_CACHE_CAP = old_cap
+        for s in qmod._SESSION_CACHE.values():
+            s[1].invalidate()
+        qmod._SESSION_CACHE.clear()
+        qmod._SESSION_CACHE.update(old_cache)
