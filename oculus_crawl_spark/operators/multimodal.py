@@ -9,6 +9,12 @@ tested: the schema contract, the mapInPandas batch shape, deterministic
 feature extraction from the raw bytes (md5-derived), and the driver
 oracle (SQL mirror over the same md5 arithmetic).
 
+Two execution paths, same output contract: the DEFAULT (no decoder)
+fingerprint path is pure JVM expressions — octet_length/md5/conv, zero
+Python crossings, plan-test-pinned — because hashing bytes never needs
+an Arrow hop; ``mapInPandas`` is reserved for injected decoders, the
+case that genuinely requires Python.
+
 Feature columns per media row:
   n_bytes     — payload size
   fp_md5      — md5 hex of the payload
@@ -74,9 +80,28 @@ def _feature_batches(
 def extract_media_features(
     media_df: DataFrame, decoder: Callable | None = None
 ) -> DataFrame:
-    """(doc_id, media_type, media:binary) -> feature table via Arrow
-    mapInPandas. ``decoder=None`` keeps the deterministic bytes-level
-    featurization (sandbox); pass a real decoder on a cluster."""
+    """(doc_id, media_type, media:binary) -> feature table.
+
+    ``decoder=None`` (no media libraries, or fingerprint-only runs)
+    computes everything with JVM expressions — octet_length / md5 / conv
+    — so the default path has ZERO Python crossings and stays inside
+    whole-stage codegen (plan-test-pinned). An injected decoder switches
+    to the Arrow ``mapInPandas`` pass, which is where real pixel/sample
+    featurization must run."""
+    if decoder is None:
+        fp = F.md5("media")
+        return media_df.select(
+            "doc_id",
+            "media_type",
+            F.octet_length("media").cast("int").alias("n_bytes"),
+            fp.alias("fp_md5"),
+            *[
+                F.conv(F.substring(fp, 1 + 8 * i, 8), 16, 10)
+                .cast("long")
+                .alias(f"f{i}")
+                for i in range(4)
+            ],
+        )
     return media_df.mapInPandas(
         lambda it: _feature_batches(it, decoder), MEDIA_FEATURES_SCHEMA
     )

@@ -386,6 +386,28 @@ def test_media_features_deterministic(spark):
     assert row["f0"] == int(d[0:8], 16)
 
 
+def test_media_features_default_path_zero_python(spark):
+    """With no decoder injected, featurization is pure JVM expressions
+    (octet_length/md5/conv) — no Arrow crossing, no Python eval node —
+    and value-identical to the injected-decoder mapInPandas plumbing's
+    bytes-level output."""
+    docs = _docs(spark).limit(10).select(
+        "doc_id",
+        F.lit("text/synthetic").alias("media_type"),
+        F.encode("text", "utf-8").alias("media"),
+    )
+    jvm_df = multimodal.extract_media_features(docs)
+    plan = jvm_df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # identity decoder => the Arrow path featurizes the same raw bytes
+    arrow_df = multimodal.extract_media_features(docs, decoder=lambda b, _t: b)
+    arrow_plan = arrow_df._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" in arrow_plan  # injected decoders DO cross to Python
+    assert sorted(map(tuple, jvm_df.collect())) == sorted(
+        map(tuple, arrow_df.collect())
+    )
+
+
 def test_clean_corpus_plan_one_shuffle_zero_python(spark):
     """The fused prep pipeline must stay whole-stage codegen with
     EXACTLY one exchange (the dedup groupBy) — the composition's whole
