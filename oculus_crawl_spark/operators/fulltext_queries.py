@@ -264,6 +264,90 @@ FROM documents
 """
 
 
+_PAGES_MERGED_CACHE: dict[str, str] = {}
+
+
+def get_pages_merged_index(spark: SparkSession, sf_dir: str) -> str:
+    """The north rule's flagship flow, end to end from PAGES: epoch-0
+    crawl (with a latest-wins dup slice) -> epoch-1 re-crawl (stable
+    doc_ids via prior_docmap: every 10th url re-crawled with ' again'
+    appended, plus a brand-new 'mirror' slice) -> E14 resumable merge
+    with range-partitioned tombstones. Searching this index must be
+    value-identical (per url) to BM25 over the reconstructed final
+    corpus state — which the driver oracle below computes as a pure
+    function of ``documents``."""
+    root = _PAGES_MERGED_CACHE.get(sf_dir)
+    if root is None:
+        from .merge import merge_indexes
+
+        root0 = get_pages_index(spark, sf_dir)
+        root1 = get_pages_epoch1_index(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="ocs_pages_merged_") + "/merged"
+        merge_indexes(spark, [root0, root1], root)
+        _PAGES_MERGED_CACHE[sf_dir] = root
+    return root
+
+
+def _pages_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the merged ep0+ep1 PAGES indexes, reported per
+    URL (the index's internal dense ids differ from the oracle's).
+    k exceeds the query's match count, so the full posting union is
+    returned and equal-score ties (mirror copies share their original's
+    text) rank identically on both sides via the (rounded score DESC,
+    url ASC) key."""
+    mroot = get_pages_merged_index(spark, sf_dir)
+    root1 = get_pages_epoch1_index(spark, sf_dir)
+    url_of = spark.read.parquet(f"{root1}/docmap").select("doc_id", "url")
+    out = search(spark, mroot, ["dup again"], k=200).join(url_of, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("url").asc())
+    return (
+        out.select("url", F.round("score", _DP).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "url", "score")
+    )
+
+
+# Final corpus state after crawl -> re-crawl -> merge, as a pure function
+# of documents: every 10th url carries the epoch-1 re-crawl (' again'
+# appended — this SHADOWS the epoch-0 dup slice's ' updated' text, since
+# doc_id%50==0 implies doc_id%10==0), mirror urls add unchanged copies.
+_PAGES_MERGED_SEARCH_SQL = f"""
+WITH corpus AS (
+  SELECT printf('https://example.org/%s/%012d', source, doc_id) AS url,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' again' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT printf('https://example.org/mirror/%012d', doc_id) AS url, text
+  FROM documents WHERE doc_id % 10 = 5
+),
+toks AS (
+  SELECT url, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
+  FROM corpus
+),
+dl AS (SELECT url, count(*) AS dl FROM toks GROUP BY url),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT url, term, count(*) AS tf FROM toks GROUP BY url, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(term) AS (VALUES ('dup'), ('again')),
+scores AS (
+  SELECT tf.url,
+         round(sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * dl.dl / stats.avgdl))
+            ), {_DP}) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.url = dl.url
+  CROSS JOIN stats
+  GROUP BY tf.url
+)
+SELECT row_number() OVER (ORDER BY score DESC, url ASC) AS rank, url, score
+FROM scores
+"""
+
+
 def _lineage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     """E13 lineage totals for one stage: postings in, blocks out."""
     return (
@@ -373,6 +457,7 @@ def queries() -> dict:
         "pages_build_doclen": _pages_doclen,
         "pages_docmap_dense": _pages_docmap_dense,
         "pages_docmap_reuse": _pages_docmap_reuse,
+        "pages_merged_search": _pages_merged_search,
         "fulltext_lineage_build": _lineage_build,
         "fulltext_lineage_merge": _lineage_merge,
     }
@@ -393,6 +478,7 @@ def oracle_sql() -> dict:
         "pages_build_doclen": _PAGES_DOCLEN_SQL,
         "pages_docmap_dense": _PAGES_DOCMAP_SQL,
         "pages_docmap_reuse": _PAGES_DOCMAP_REUSE_SQL,
+        "pages_merged_search": _PAGES_MERGED_SEARCH_SQL,
         "fulltext_lineage_build": _lineage_oracle(0, "build"),
         "fulltext_lineage_merge": _lineage_oracle(1, "merge"),
     }

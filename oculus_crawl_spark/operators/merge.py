@@ -322,10 +322,22 @@ def merge_indexes(
     # computed from the deterministic source DataFrame — identical to
     # the written content — and rides into the kernel closure to key the
     # per-worker cache.
+    # Hash accumulation in DECIMAL(38,0): a plain long sum of random
+    # 64-bit hashes overflows (and ANSI mode then fails the job) once
+    # there are more than a handful of tombstones; the decimal sum holds
+    # ~10^19 rows and the mod keeps the fingerprint in long range.
     fp_row = tombstones.agg(
         F.count("*").alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64("epoch", "range_bucket", "doc_id")), F.lit(0)
+            (
+                F.sum(
+                    F.xxhash64("epoch", "range_bucket", "doc_id").cast(
+                        "decimal(38,0)"
+                    )
+                )
+                % F.lit(1 << 62)
+            ).cast("long"),
+            F.lit(0),
         ).alias("h"),
     ).collect()[0]
     tombstone_fp = (int(fp_row["n"]), int(fp_row["h"]))
