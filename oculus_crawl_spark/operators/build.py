@@ -311,14 +311,31 @@ def tokenize_corpus(corpus: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
     Default path is the codegen'd column-expression tokenizer (identical
     to the frozen spec for ASCII; zero Python in the scan stage — see
     IndexConfig.use_jvm_tokenizer). The Arrow UDF path carries the full
-    NFC+casefold spec for non-Latin corpora."""
+    NFC+casefold spec for non-Latin corpora.
+
+    The JVM path REFUSES non-ASCII text (one codegen'd rlike per row,
+    negligible next to extraction) rather than silently diverging from
+    the frozen spec: ``lower()`` and ``casefold()`` disagree exactly on
+    non-ASCII input (casefold('ẞ')='ss' grows an ASCII token that
+    lower() never produces), so an index built on the fast path over a
+    non-Latin corpus would NOT be rank-identical to the spec. Flip
+    ``use_jvm_tokenizer=False`` for such corpora (pytest-gated)."""
     from ..functions.analysis import tokenize_expr
 
-    tok = (
-        tokenize_expr(F.col("text"))
-        if cfg.use_jvm_tokenizer
-        else tokenize_udf("text")
-    )
+    if cfg.use_jvm_tokenizer:
+        ascii_ok = ~F.coalesce(
+            F.col("text").rlike("[^\\x00-\\x7F]"), F.lit(False)
+        )
+        guard = F.assert_true(
+            ascii_ok,
+            F.lit(
+                "non-ASCII text: the JVM tokenizer is exact for ASCII only; "
+                "build with IndexConfig(use_jvm_tokenizer=False)"
+            ),
+        )
+        tok = F.when(guard.isNull(), tokenize_expr(F.col("text")))
+    else:
+        tok = tokenize_udf("text")
     return corpus.select("doc_id", tok.alias("tokens")).withColumn(
         "dl", F.size("tokens").cast("int")
     )

@@ -224,3 +224,90 @@ def test_session_cache_lru_eviction(spark, index_sf0001, tmp_path):
             s[1].invalidate()
         qmod._SESSION_CACHE.clear()
         qmod._SESSION_CACHE.update(old_cache)
+
+
+NONLATIN_TEXTS = [
+    # Greek/Cyrillic/CJK words carry no [a-z0-9] runs and must vanish;
+    # casefold-expanding chars (ẞ->ss, İ->i+dot) DO yield ASCII tokens,
+    # which is exactly where lower() and the frozen spec diverge.
+    "αλφα βητα data7 Straße GROSS",
+    "Привет мир spark ВЕКТОР scan42",
+    "日本語テキスト mixed token stream ＡＢＣ",
+    "ẞ İstanbul naïve café cliché",
+    "ΣΟΦΟΣ σοφος dup dup dup",
+    "plain ascii filler words here",
+    "numbers 123 and ΚΕΙΜΕΝΟ 456",
+    "straße STRASSE Strasse",  # three spellings, one casefolded token
+] * 4  # 32 docs
+
+
+def _nonlatin_docs(spark):
+    rows = [(i, t) for i, t in enumerate(NONLATIN_TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_nonlatin_corpus_arrow_path_matches_numpy_oracle(spark, tmp_path):
+    """The Arrow tokenizer path (use_jvm_tokenizer=False — full NFC +
+    casefold spec) must build a non-Latin corpus whose search results are
+    rank-identical to the exhaustive NumPy oracle over the frozen
+    ``tokenize`` spec, including casefold-only matches ('straße' query
+    must hit 'STRASSE' docs via the shared 'strasse' token)."""
+    from oculus_crawl_spark.config import IndexConfig
+    from oculus_crawl_spark.operators.build import build_index
+    from oculus_crawl_spark.operators.query import SearchSession
+
+    cfg = IndexConfig(use_jvm_tokenizer=False)
+    root = str(tmp_path / "nonlatin_idx")
+    build_index(_nonlatin_docs(spark), root, cfg=cfg)
+    sess = SearchSession(spark, root, cfg=cfg)
+
+    docs_pdf = pd.DataFrame({"doc_id": range(len(NONLATIN_TEXTS)), "text": NONLATIN_TEXTS})
+    queries = ["straße", "dup", "data7 scan42", "i̇stanbul token", "ss"]
+    got = sess.search(queries, k=10).orderBy("query_id", "rank").toPandas()
+    hit_any = False
+    for qid, q in enumerate(queries):
+        expected = numpy_oracle(docs_pdf, q, 10)
+        actual = got[got.query_id == qid][["doc_id", "score"]].values.tolist()
+        assert len(actual) == len(expected), q
+        hit_any = hit_any or bool(expected)
+        for (ed, es), (ad, ascore) in zip(expected, actual):
+            assert ed == ad and abs(es - ascore) < 1e-9, (q, expected, actual)
+    assert hit_any  # the gate must exercise real matches, not empty sets
+    # casefold bridge: the 'straße' query matches ALL spellings.
+    exp_strasse = {d for d, _ in numpy_oracle(docs_pdf, "straße", 10)}
+    assert exp_strasse  # sanity: the corpus contains them
+
+
+def test_nonlatin_corpus_jvm_path_is_refused(spark, tmp_path):
+    """The codegen tokenizer is exact for ASCII only; building a
+    non-Latin corpus on it must FAIL FAST (assert_true guard), never
+    silently produce an index that diverges from the frozen spec."""
+    from oculus_crawl_spark.operators.build import build_index
+
+    with pytest.raises(Exception, match="non-ASCII|ASSERT|assert"):
+        build_index(_nonlatin_docs(spark), str(tmp_path / "jvm_idx"))
+
+
+def test_ascii_corpus_identical_across_tokenizer_paths(spark, tmp_path):
+    """On the ASCII documents corpus the two tokenizer paths must build
+    value-identical doclen/dictionary tables (the equivalence that makes
+    the JVM path a safe default)."""
+    from oculus_crawl_spark.config import IndexConfig
+    from oculus_crawl_spark.operators.build import build_index
+
+    docs = (
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 120")
+    )
+    roots = {}
+    for name, cfg in (
+        ("jvm", IndexConfig()),
+        ("arrow", IndexConfig(use_jvm_tokenizer=False)),
+    ):
+        roots[name] = str(tmp_path / name)
+        build_index(docs, roots[name], cfg=cfg)
+    for table in ("doclen", "dictionary"):
+        a = sorted(map(tuple, spark.read.parquet(f"{roots['jvm']}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{roots['arrow']}/{table}").collect()))
+        assert a == b, table
