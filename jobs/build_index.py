@@ -19,13 +19,13 @@ from __future__ import annotations
 
 import argparse
 import os
+import json
 import sys
 
 # Allow plain `python jobs/<job>.py` runs: put the repo root on the
 # path when the package is not already importable (spark-submit
 # --py-files provides it on a cluster).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import json
 
 
 def main() -> None:

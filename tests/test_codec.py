@@ -104,3 +104,56 @@ def test_decode_doc_ids_many_matches_per_block(id_lists):
             out[offs[i] : offs[i + 1]],
             decode_doc_ids(int(firsts[i]), bufs[i], int(ns[i])),
         )
+
+
+@given(
+    st.lists(
+        st.lists(uint64s, min_size=0, max_size=150),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_pfor_encode_many_byte_identical_to_per_block(block_lists):
+    """The batched ENCODE path (build/merge write side) must emit the
+    exact bytes of per-block pfor_encode — a silent encode divergence
+    would only surface in end-to-end grading otherwise."""
+    from oculus_crawl_spark.functions.codec import pfor_encode_many
+
+    blocks = [np.array(b, dtype=np.uint64) for b in block_lists]
+    assert pfor_encode_many(blocks) == [pfor_encode(b) for b in blocks]
+
+
+@given(
+    st.lists(
+        st.lists(uint64s, min_size=1, max_size=200, unique=True),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_encode_doc_gaps_many_byte_identical_to_per_block(id_lists):
+    from oculus_crawl_spark.functions.codec import encode_doc_gaps_many
+
+    blocks = [np.sort(np.array(ids, dtype=np.uint64)) for ids in id_lists]
+    assert encode_doc_gaps_many(blocks) == [encode_doc_gaps(b) for b in blocks]
+
+
+def test_encode_many_exception_heavy_and_wide_values():
+    """Directed cases the random strategy rarely builds: exception-heavy
+    blocks and >2^62 values through BOTH batched encoders."""
+    from oculus_crawl_spark.functions.codec import (
+        encode_doc_gaps_many,
+        pfor_encode_many,
+    )
+
+    rng = np.random.default_rng(11)
+    heavy = rng.integers(1, 8, size=128, dtype=np.uint64)
+    heavy[::3] = rng.integers(2**55, 2**63, size=len(heavy[::3]), dtype=np.uint64)
+    wide_ids = np.sort(
+        rng.integers(2**62, 2**63 - 1, size=100, dtype=np.uint64)
+    )
+    wide_ids = np.unique(wide_ids)
+    blocks = [heavy, np.arange(128, dtype=np.uint64)]
+    assert pfor_encode_many(blocks) == [pfor_encode(b) for b in blocks]
+    assert encode_doc_gaps_many([wide_ids]) == [encode_doc_gaps(wide_ids)]
