@@ -143,6 +143,12 @@ def main() -> None:
                     "batch_qps": qps,
                     "query_trials": trials,
                     "build_warmup_sec": warmup_sec,
+                    # Cold-equivalent build = one-time JIT/codegen warm-up
+                    # + the timed steady-state build, so cross-round
+                    # comparisons never need manual arithmetic.
+                    "build_cold_sec": round(
+                        warmup_sec + timings["build_index"], 4
+                    ),
                     "cores": cpus,
                 }
             )
