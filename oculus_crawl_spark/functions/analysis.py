@@ -112,7 +112,13 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(text: pd.Series) -> pd.Series:
-    return text.map(tokenize)
+    """Vectorized mirror of ``tokenize`` — NFC normalize, casefold and
+    token findall each run as ONE pandas .str C loop over the whole
+    Arrow batch (this is the ingest hot loop for non-ASCII corpora,
+    where the codegen path is refused). Equality with the per-row spec
+    function is pytest-pinned on unicode edge cases."""
+    s = text.fillna("").str.normalize("NFC").str.casefold()
+    return s.str.findall(_TOKEN)
 
 
 def tokenize_expr(col):

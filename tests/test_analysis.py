@@ -66,3 +66,22 @@ def test_tokenize_examples():
     assert tokenize(None) == []
     assert tokenize("a-b_c.d") == ["a", "b", "c", "d"]
     assert tokenize("CaseFOLD ß") == ["casefold", "ss"]  # ß casefolds to ss
+
+
+def test_tokenize_udf_batch_matches_spec_function():
+    """The vectorized tokenize UDF body (.str normalize/casefold/findall
+    C-passes) must equal the per-row frozen spec on unicode edge cases —
+    including casefold expansions, astral chars, None and empty."""
+    import pandas as pd
+
+    from oculus_crawl_spark.functions.analysis import tokenize, tokenize_udf
+
+    texts = [
+        None, "", "  ", "Hello World 123", "ẞ İstanbul",
+        "straße STRASSE Σοφός", "àb ćd",  # combining marks (NFC)
+        "ＡＢＣ ๑๒๓ 𝔘𝔫𝔦", "x!y@z#1$2%3", "dup dup DUP",
+    ]
+    s = pd.Series(texts, dtype=object)
+    got = tokenize_udf.func(s)
+    for g, t in zip(got, texts):
+        assert list(g) == tokenize(t), repr(t)
