@@ -135,9 +135,16 @@ def _term_bucket_np(terms: pd.Series, n_buckets: int) -> np.ndarray:
         flat = np.frombuffer(b"".join(enc.to_numpy()), dtype=np.uint8)
         starts = np.cumsum(lens) - lens
         prime = np.uint64(_FNV_PRIME)
+        # Iterate terms sorted by length so position j touches ONLY the
+        # suffix of terms longer than j — total work O(sum of lengths),
+        # like the scalar loop. (A flatnonzero over the whole batch per
+        # position would make one pathological 100 KB token cost
+        # positions x batch-size scans.)
+        order = np.argsort(lens, kind="stable")
+        sorted_lens = lens[order]
         with np.errstate(over="ignore"):
-            for j in range(int(lens.max())):
-                alive = np.flatnonzero(lens > j)
+            for j in range(int(sorted_lens[-1])):
+                alive = order[np.searchsorted(sorted_lens, j, side="right") :]
                 h = out_h[alive]
                 h ^= flat[starts[alive] + j].astype(np.uint64)
                 h *= prime
@@ -313,23 +320,30 @@ def tokenize_corpus(corpus: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
     IndexConfig.use_jvm_tokenizer). The Arrow UDF path carries the full
     NFC+casefold spec for non-Latin corpora.
 
-    The JVM path REFUSES non-ASCII text (one codegen'd rlike per row,
-    negligible next to extraction) rather than silently diverging from
-    the frozen spec: ``lower()`` and ``casefold()`` disagree exactly on
-    non-ASCII input (casefold('ẞ')='ss' grows an ASCII token that
-    lower() never produces), so an index built on the fast path over a
-    non-Latin corpus would NOT be rank-identical to the spec. Flip
-    ``use_jvm_tokenizer=False`` for such corpora (pytest-gated)."""
+    The JVM path REFUSES texts containing a DIVERGENT character (one
+    codegen'd rlike per row, negligible next to extraction) rather than
+    silently diverging from the frozen spec. Divergent = the exact
+    class where lower() and NFC+casefold can disagree on [a-z0-9] run
+    formation — casefold expansions (ß→ss), NFC-unstable singletons,
+    and combining marks that merge with ASCII bases
+    (functions/unicode_gate.py; verified exhaustively over every other
+    codepoint). Accented Latin, U+FFFD from errors='replace' decoding,
+    CJK etc. all pass — they tokenize identically on both paths. Flip
+    ``use_jvm_tokenizer=False`` for corpora that trip the guard
+    (pytest-gated rank-identical)."""
     from ..functions.analysis import tokenize_expr
+    from ..functions.unicode_gate import JVM_DIVERGENT_REGEX
 
     if cfg.use_jvm_tokenizer:
-        ascii_ok = ~F.coalesce(
-            F.col("text").rlike("[^\\x00-\\x7F]"), F.lit(False)
+        exact_ok = ~F.coalesce(
+            F.col("text").rlike(JVM_DIVERGENT_REGEX), F.lit(False)
         )
         guard = F.assert_true(
-            ascii_ok,
+            exact_ok,
             F.lit(
-                "non-ASCII text: the JVM tokenizer is exact for ASCII only; "
+                "text contains characters where the JVM tokenizer diverges "
+                "from the frozen NFC+casefold spec (casefold expansion / "
+                "combining mark / NFC-unstable — see functions/unicode_gate); "
                 "build with IndexConfig(use_jvm_tokenizer=False)"
             ),
         )

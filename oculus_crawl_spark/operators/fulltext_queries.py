@@ -291,14 +291,20 @@ def get_pages_merged_index(spark: SparkSession, sf_dir: str) -> str:
 def _pages_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k over the merged ep0+ep1 PAGES indexes, reported per
     URL (the index's internal dense ids differ from the oracle's).
-    k exceeds the query's match count, so the full posting union is
-    returned and equal-score ties (mirror copies share their original's
-    text) rank identically on both sides via the (rounded score DESC,
-    url ASC) key."""
+    k is derived from the corpus size (merged corpus < 2*n_docs), so
+    the FULL posting union is returned at ANY sf — the oracle has no
+    LIMIT, and a fixed k would diverge once the match set outgrew it
+    (at sf0.1 the query matches 742 urls). With no k boundary,
+    equal-score ties (mirror copies share their original's text) rank
+    identically on both sides via the (rounded score DESC, url ASC)
+    key."""
     mroot = get_pages_merged_index(spark, sf_dir)
     root1 = get_pages_epoch1_index(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     url_of = spark.read.parquet(f"{root1}/docmap").select("doc_id", "url")
-    out = search(spark, mroot, ["dup again"], k=200).join(url_of, "doc_id")
+    out = search(spark, mroot, ["dup again"], k=2 * n_docs).join(
+        url_of, "doc_id"
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("score").desc(), F.col("url").asc())

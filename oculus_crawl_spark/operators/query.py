@@ -170,11 +170,14 @@ class _TermBlocks:
         # bounded — distinct mixed sets across a long multi-query batch
         # would otherwise grow it without limit.
         key = idxs.astype(np.int64, copy=False).tobytes()
-        if len(self._concat) > 64:
-            self._concat.clear()
         hit = self._concat.get(key)
         if hit is not None:
             return hit
+        while len(self._concat) >= 64:
+            # Evict the OLDEST entry only (insertion order); clearing
+            # everything on overflow would dump the warm entries the
+            # cache exists for, right when a batch is using them.
+            self._concat.pop(next(iter(self._concat)))
         cache = self._cache
         miss = (
             idxs

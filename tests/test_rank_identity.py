@@ -278,14 +278,65 @@ def test_nonlatin_corpus_arrow_path_matches_numpy_oracle(spark, tmp_path):
     assert exp_strasse  # sanity: the corpus contains them
 
 
-def test_nonlatin_corpus_jvm_path_is_refused(spark, tmp_path):
-    """The codegen tokenizer is exact for ASCII only; building a
-    non-Latin corpus on it must FAIL FAST (assert_true guard), never
-    silently produce an index that diverges from the frozen spec."""
+def test_divergent_corpus_jvm_path_is_refused(spark, tmp_path):
+    """Building a corpus with spec-divergent characters (ß casefold
+    expansion here) on the codegen tokenizer must FAIL FAST
+    (assert_true guard), never silently produce an index that diverges
+    from the frozen spec."""
     from oculus_crawl_spark.operators.build import build_index
 
-    with pytest.raises(Exception, match="non-ASCII|ASSERT|assert"):
+    with pytest.raises(Exception, match="diverge|ASSERT|assert"):
         build_index(_nonlatin_docs(spark), str(tmp_path / "jvm_idx"))
+
+
+def test_safe_nonascii_corpus_builds_on_jvm_path(spark, tmp_path):
+    """Non-ASCII text WITHOUT divergent characters (accented Latin,
+    CJK, U+FFFD replacement chars from errors='replace' decoding) must
+    build on the default codegen path — the guard rejects only the
+    exact divergence class, not all non-ASCII — and produce tables
+    identical to the Arrow-spec path."""
+    from oculus_crawl_spark.config import IndexConfig
+    from oculus_crawl_spark.operators.build import build_index
+
+    texts = [
+        "café menu café latte 42",       # composed é (safe)
+        "broken � bytes recovered here",       # U+FFFD (safe)
+        "中文 mixed ascii tokens 中文 data",          # CJK (safe)
+        "plain ascii control row",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    roots = {}
+    for name, cfg in (
+        ("jvm", IndexConfig()),
+        ("arrow", IndexConfig(use_jvm_tokenizer=False)),
+    ):
+        roots[name] = str(tmp_path / name)
+        build_index(docs, roots[name], cfg=cfg)  # must NOT raise
+    for table in ("doclen", "dictionary"):
+        a = sorted(map(tuple, spark.read.parquet(f"{roots['jvm']}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{roots['arrow']}/{table}").collect()))
+        assert a == b, table
+
+
+def test_divergence_gate_matches_unicodedata():
+    """The embedded range table must equal a fresh recomputation from
+    this interpreter's unicodedata — a Unicode version bump fails here
+    instead of silently mis-gating — and the Python/Java mirrors must
+    agree on directed probes."""
+    from oculus_crawl_spark.functions import unicode_gate as g
+
+    assert g.decode_ranges() == g.compute_divergent_ranges()
+    assert g.jvm_tokenizer_exact("café � 中文 plain 123")
+    for bad in ("straße", "ẞ", "é", "Ω", "İ"):
+        # ß, ẞ, combining acute, OHM sign, İ (casefold ≠ lower: i + dot)
+        if bad == "İ":
+            # İ: python casefold == lower ('i'+dot) — safe by the class;
+            # both paths yield the token 'i'.
+            assert g.jvm_tokenizer_exact(bad)
+        else:
+            assert not g.jvm_tokenizer_exact(bad), repr(bad)
 
 
 def test_ascii_corpus_identical_across_tokenizer_paths(spark, tmp_path):
