@@ -335,9 +335,16 @@ def tokenize_corpus(corpus: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
     from ..functions.unicode_gate import JVM_DIVERGENT_REGEX
 
     if cfg.use_jvm_tokenizer:
-        exact_ok = ~F.coalesce(
-            F.col("text").rlike(JVM_DIVERGENT_REGEX), F.lit(False)
-        )
+        # Short-circuit: the 427-range divergence class compiles to a
+        # slow Java regex (measured 32x the whole tokenize stage when
+        # run on every row), so it is evaluated ONLY for rows that
+        # contain non-ASCII at all — detected by octet_length != length
+        # (byte count vs char count; no regex, no scan beyond what the
+        # tokenizer reads anyway). Pure-ASCII corpora never touch the
+        # heavy class; codegen's And short-circuits per row.
+        nonascii = F.octet_length("text") != F.length("text")
+        divergent = nonascii & F.col("text").rlike(JVM_DIVERGENT_REGEX)
+        exact_ok = ~F.coalesce(divergent, F.lit(False))
         guard = F.assert_true(
             exact_ok,
             F.lit(
