@@ -84,16 +84,18 @@ def _merged(query: str, k: int = 10):
 _DP = 8  # rounding precision for cross-engine score comparison
 
 
-def _rerank_rounded(out: DataFrame) -> DataFrame:
-    """Recompute rank from the ROUNDED score (tie-break doc_id ASC) so
-    both engines rank on byte-identical keys."""
+def _rerank_rounded(out: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Recompute rank from the ROUNDED score (tie-break ``key`` ASC) so
+    both engines rank on byte-identical keys. NOTE the select shadows
+    ``score`` with the rounded column BEFORE the window, so the window
+    orders on the rounded value — the whole point of the helper."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    w = Window.orderBy(F.col("score").desc(), F.col(key).asc())
     return (
-        out.select("doc_id", F.round("score", _DP).alias("score"))
+        out.select(key, F.round("score", _DP).alias("score"))
         .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
+        .select("rank", key, "score")
     )
 
 
@@ -276,6 +278,8 @@ def get_pages_merged_index(spark: SparkSession, sf_dir: str) -> str:
     value-identical (per url) to BM25 over the reconstructed final
     corpus state — which the driver oracle below computes as a pure
     function of ``documents``."""
+    ensure_conf(spark)  # unconditional, like every sibling get_* (the
+    # driver owns the session; warm-cache calls must re-apply too)
     root = _PAGES_MERGED_CACHE.get(sf_dir)
     if root is None:
         from .merge import merge_indexes
@@ -305,14 +309,7 @@ def _pages_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = search(spark, mroot, ["dup again"], k=2 * n_docs).join(
         url_of, "doc_id"
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("score").desc(), F.col("url").asc())
-    return (
-        out.select("url", F.round("score", _DP).alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "url", "score")
-    )
+    return _rerank_rounded(out, key="url")
 
 
 # Final corpus state after crawl -> re-crawl -> merge, as a pure function
