@@ -490,12 +490,16 @@ class SearchSession:
             # query) and keep them hot. Every (query, range) WAND group
             # is then complete within one cached partition, so the fast
             # path needs no per-query exchange. Partition count = the
-            # number of ranges (capped at 4x cores): empty cached
-            # partitions would still schedule a task + a Python-worker
-            # round-trip PER QUERY — at one range that was 32 wasted
-            # tasks/query, ~5x the whole query latency.
+            # number of ranges CAPPED AT the core count: every cached
+            # partition schedules a task + a Python-worker round-trip
+            # PER QUERY, so partitions beyond one wave of cores only add
+            # fixed overhead (measured at 256 ranges / 32 cores: the old
+            # 4x-cores cap ran 4 task waves and put single-query median
+            # at 2.14 s; cap=cores runs one wave at 0.44 s). Ranges are
+            # near-uniform by construction (dense doc ids, fixed range
+            # width), so wave-smoothing oversubscription buys nothing.
             n_parts = max(1, min(self.n_ranges_est,
-                                 spark.sparkContext.defaultParallelism * 4))
+                                 spark.sparkContext.defaultParallelism))
             self._segments = seg.repartition(n_parts, "range_bucket").persist()
         else:
             self._segments = seg
