@@ -376,10 +376,25 @@ def q_window_frames(spark, sf_dir):
     key: per-user running sum and lag delta (ROWS frame) plus a trailing
     1h event count (RANGE frame over the numeric time key). One window
     partition spec => Catalyst evaluates all four in a single Window
-    node after one (user_id) sort."""
-    e = _t(spark, sf_dir, "events").withColumn("ts_sec", F.unix_timestamp("ts"))
+    node after one (user_id) sort.
+
+    The RANGE key is integer MICROSECONDS (unix_micros / epoch_us on the
+    oracle side): events carry sub-second timestamps, and a
+    seconds-truncated key silently shifts the frame boundary for events
+    sitting within the truncated fraction of exactly one hour apart
+    (observed once in 100k rows at sf0.1 — rows/schema matched, one
+    n_last_hour cell off by one)."""
+    # ts is TIMESTAMP_NTZ; the cast reads it in the session tz, which
+    # ensure_conf pins to UTC — matching DuckDB's epoch_us on naive ts.
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wr = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
     return (
         e.select(
             "user_id",
@@ -399,8 +414,8 @@ SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
        round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS prev_value,
-       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
-                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
 FROM events ORDER BY user_id, event_id
 """
 
