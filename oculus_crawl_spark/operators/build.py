@@ -303,7 +303,9 @@ def term_dimension(postings_raw: DataFrame, cfg: IndexConfig = DEFAULT) -> DataF
     def bucket_udf(s: pd.Series) -> pd.Series:
         return pd.Series(_term_bucket_np(s, n_buckets).astype(np.int32))
 
-    vocab = postings_raw.select("term").distinct()
+    # NULL terms are the explode_outer sentinels for empty docs (they
+    # exist for doclen only) — never vocabulary entries.
+    vocab = postings_raw.select("term").filter(F.col("term").isNotNull()).distinct()
     return assign_dense_ids(vocab, "term", "term_id").withColumn(
         "term_bucket", bucket_udf("term")
     )
@@ -357,6 +359,9 @@ def tokenize_corpus(corpus: DataFrame, cfg: IndexConfig = DEFAULT) -> DataFrame:
         tok = F.when(guard.isNull(), tokenize_expr(F.col("text")))
     else:
         tok = tokenize_udf("text")
+    # NULL text -> [] (the spec: tokenize(None) == []), so dl is 0, not
+    # size(NULL) = -1, and empty docs stay representable downstream.
+    tok = F.coalesce(tok, F.array().cast("array<string>"))
     return corpus.select("doc_id", tok.alias("tokens")).withColumn(
         "dl", F.size("tokens").cast("int")
     )
@@ -367,9 +372,17 @@ def term_frequencies(tokenized: DataFrame) -> DataFrame:
 
     groupBy(doc_id, dl, term).count() is a reducing agg: Spark's partial
     aggregation collapses repeats map-side before the shuffle (dl is
-    functionally dependent on doc_id, so adding it to the key is free)."""
+    functionally dependent on doc_id, so adding it to the key is free).
+
+    explode_OUTER: a document whose text tokenizes to NOTHING (an empty
+    re-crawl of a previously non-empty page) emits one NULL-term row,
+    so doclen still records it (dl=0) in the same single corpus pass.
+    Without it the doc vanishes from doclen entirely and a later merge
+    derives NO tombstone for its previous epoch — its stale postings
+    would silently survive the re-crawl. NULL terms are filtered before
+    the dictionary/posting pipeline (term_dimension, the term_id join)."""
     return (
-        tokenized.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        tokenized.select("doc_id", "dl", F.explode_outer("tokens").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("int").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
@@ -605,17 +618,27 @@ def build_index(
         .select("term_id", "doc_id", "tf", "dl")
         .persist()
     )
-    # E4/E8: doc lengths + corpus stats (dl rides on the postings rows).
-    # This collect is also the action that materializes the persisted
-    # numeric postings, after which the string-keyed triples are freed.
-    doclen = postings.groupBy("doc_id").agg(F.max("dl").cast("int").alias("dl"))
+    # E4/E8: doc lengths + corpus stats. Derived from the RAW triples
+    # (pre term-id join): explode_outer keeps a NULL-term sentinel row
+    # per empty doc, so docs whose text tokenizes to nothing still get
+    # a doclen row (dl=0) — the merge's tombstone derivation depends on
+    # every crawled doc being present here. This collect materializes
+    # the persisted triples; the numeric postings reuse that cache.
+    # doclen is persisted (tiny: 12 B/doc) because the raw triples are
+    # freed before the finalize writes — without the cache the doclen
+    # write would re-tokenize the whole corpus.
+    doclen = (
+        postings_raw.groupBy("doc_id")
+        .agg(F.max("dl").cast("int").alias("dl"))
+        .persist()
+    )
     stats_row = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     n_docs = int(stats_row["n_docs"])
-    # Empty corpus (or all-empty texts): write a well-formed empty index
-    # (explicit schemas — an empty partitioned write is unreadable
-    # otherwise) rather than crashing; searches then return [].
+    # Empty corpus: write a well-formed empty index (explicit schemas —
+    # an empty partitioned write is unreadable otherwise); searches
+    # then return [].
     if n_docs == 0:
         for path, schema in (
             (paths.segments, schemas.SEGMENTS),
@@ -630,10 +653,36 @@ def build_index(
             paths.corpus_stats,
         )
         postings.unpersist()
+        postings_raw.unpersist()
         terms_dim.unpersist()
+        doclen.unpersist()
         wall = time.monotonic() - t0
         return BuildResult(paths, 0, 0.0, wall, 0.0)
     avgdl = float(stats_row["avgdl"])
+
+    # All-empty-texts corpus (n_docs > 0 but zero vocabulary): same
+    # empty segments/dictionary, but REAL doclen/stats — the docs exist,
+    # they just match nothing.
+    if not terms_dim.head(1):
+        for path, schema in (
+            (paths.segments, schemas.SEGMENTS),
+            (paths.dictionary, schemas.DICTIONARY),
+        ):
+            write_table(spark.createDataFrame([], schema), path)
+        write_table(doclen, paths.doclen)
+        write_table(
+            spark.createDataFrame(
+                [(n_docs, avgdl, epoch, cfg.analysis_version)],
+                schema=schemas.CORPUS_STATS,
+            ),
+            paths.corpus_stats,
+        )
+        postings.unpersist()
+        postings_raw.unpersist()
+        terms_dim.unpersist()
+        doclen.unpersist()
+        wall = time.monotonic() - t0
+        return BuildResult(paths, n_docs, avgdl, wall, n_docs / wall)
     postings_raw.unpersist()
 
     # E7: salted two-phase assembly -> compressed blocks, written
@@ -700,6 +749,7 @@ def build_index(
             f.result()
     postings.unpersist()
     terms_dim.unpersist()
+    doclen.unpersist()
     wall = time.monotonic() - t0
 
     return BuildResult(

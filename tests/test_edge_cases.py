@@ -29,12 +29,23 @@ def test_empty_corpus_builds_searchable_empty_index(spark, tmp_root):
     assert sess.search(["anything"], k=5).collect() == []
 
 
-def test_all_empty_texts_is_empty_index(spark, tmp_root):
+def test_all_empty_texts_builds_searchable_empty_index(spark, tmp_root):
+    """Token-less docs EXIST (doclen rows with dl=0 — the merge's
+    tombstone derivation requires every crawled doc to appear in
+    doclen), they just can never match: zero vocabulary, empty
+    segments/dictionary, searches return []."""
     docs = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "!!!")], "doc_id long, text string"
     )
     r = build_index(docs, tmp_root)
-    assert r.n_docs == 0  # token-less docs carry no mass (oracle agrees)
+    assert r.n_docs == 3 and r.avgdl == 0.0
+    dl = {
+        row["doc_id"]: row["dl"]
+        for row in spark.read.parquet(f"{tmp_root}/doclen").collect()
+    }
+    assert dl == {1: 0, 2: 0, 3: 0}
+    assert spark.read.parquet(f"{tmp_root}/dictionary").count() == 0
+    assert SearchSession(spark, tmp_root).search(["hello"], k=5).collect() == []
 
 
 def test_single_doc_corpus(spark, tmp_root):

@@ -235,3 +235,45 @@ def test_merge_skew_bounded_tasks(spark, merged_setup):
     tmp, _res, _full = merged_setup
     seg = spark.read.parquet(f"{tmp}/merged/segments")
     assert seg.agg(F.max("n_docs")).collect()[0][0] <= 128
+
+
+def test_recrawl_to_empty_text_tombstones_old_postings(spark):
+    """A doc whose re-crawl tokenizes to NOTHING must still shadow its
+    previous epoch: doclen records the empty doc (explode_outer sentinel
+    in the triples pass), so the merge derives its tombstone and every
+    old term stops matching it. Without that the stale postings of a
+    page deleted from the web would silently survive the merge."""
+    tmp = tempfile.mkdtemp(prefix="ocs_emptyre_")
+    try:
+        docs = _docs(spark).filter(F.col("doc_id") < 30)
+        build_index(docs, f"{tmp}/ep0", epoch=0)
+        e1 = docs.filter(F.col("doc_id") == 7).withColumn("text", F.lit(""))
+        build_index(e1, f"{tmp}/ep1", epoch=1)
+        # the empty doc must be present in epoch 1's doclen with dl=0
+        dl1 = {
+            r["doc_id"]: r["dl"]
+            for r in spark.read.parquet(f"{tmp}/ep1/doclen").collect()
+        }
+        assert dl1 == {7: 0}
+        res = merge_indexes(spark, [f"{tmp}/ep0", f"{tmp}/ep1"], f"{tmp}/merged")
+        assert res.n_docs == 30  # doc 7 still counted (exists, empty)
+        sess = SearchSession(spark, f"{tmp}/merged")
+        from oculus_crawl_spark.functions.analysis import tokenize
+
+        old_text = docs.filter(F.col("doc_id") == 7).collect()[0]["text"]
+        old_terms = sorted(set(tokenize(old_text)))
+        assert old_terms
+        for term in old_terms:
+            hits = {r["doc_id"] for r in sess.search([term], k=50).collect()}
+            assert 7 not in hits, term
+        # dictionary df must count doc 7 out of every old term
+        dictionary = {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(f"{tmp}/merged/dictionary").collect()
+        }
+        others = docs.filter(F.col("doc_id") != 7).collect()
+        for term in old_terms:
+            exp = sum(1 for r in others if term in set(tokenize(r["text"])))
+            assert dictionary.get(term, 0) == exp, term
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
