@@ -648,7 +648,9 @@ def build_index(
             write_table(spark.createDataFrame([], schema), path)
         write_table(
             spark.createDataFrame(
-                [(0, 0.0, epoch, cfg.analysis_version)], schema=schemas.CORPUS_STATS
+                [(0, 0.0, epoch, cfg.analysis_version,
+                  cfg.n_term_buckets, cfg.range_bits)],
+                schema=schemas.CORPUS_STATS
             ),
             paths.corpus_stats,
         )
@@ -672,7 +674,8 @@ def build_index(
         write_table(doclen, paths.doclen)
         write_table(
             spark.createDataFrame(
-                [(n_docs, avgdl, epoch, cfg.analysis_version)],
+                [(n_docs, avgdl, epoch, cfg.analysis_version,
+                  cfg.n_term_buckets, cfg.range_bits)],
                 schema=schemas.CORPUS_STATS,
             ),
             paths.corpus_stats,
@@ -704,7 +707,8 @@ def build_index(
         .select("term", "df", "cf", "n_blocks", "term_bucket")
     )
     stats_df = spark.createDataFrame(
-        [(n_docs, avgdl, epoch, cfg.analysis_version)],
+        [(n_docs, avgdl, epoch, cfg.analysis_version,
+          cfg.n_term_buckets, cfg.range_bits)],
         schema=schemas.CORPUS_STATS,
     )
     # E13: per-partition lineage/metrics from the committed segments
@@ -797,7 +801,13 @@ def build_index_from_pages(
     re-crawled url shadows its old postings because it carries the SAME
     doc_id into the new epoch."""
     spark = pages.sparkSession
-    prepared = prepare_pages(pages, langs=langs, cfg=cfg)
+    # Persist the prepared corpus: THREE separate actions consume it
+    # (the dense-id pre-count collect, the docmap write, and the index
+    # build's postings materialization — plus the prior-docmap join on
+    # the incremental path). Without the cache each action re-runs the
+    # pages scan, the latest-per-url window shuffle, and the extraction
+    # UDF — the most expensive upstream stages, ~3x at 100 TB.
+    prepared = prepare_pages(pages, langs=langs, cfg=cfg).persist()
     paths = IndexPaths(index_root)
 
     if prior_docmap is None:
@@ -828,6 +838,9 @@ def build_index_from_pages(
         )
         docmap = crawl_map.unionByName(carried)
 
+    # The id-assigned corpus feeds both the docmap write and the index
+    # build; cache it so the id-assignment shuffle also runs once.
+    corpus = corpus.persist()
     write_table(docmap, paths.docmap)
     write_table(
         spark.createDataFrame(
@@ -836,4 +849,8 @@ def build_index_from_pages(
         ),
         paths.docmap_meta,
     )
-    return build_index(corpus.select("doc_id", "text"), index_root, epoch, cfg)
+    try:
+        return build_index(corpus.select("doc_id", "text"), index_root, epoch, cfg)
+    finally:
+        corpus.unpersist()
+        prepared.unpersist()

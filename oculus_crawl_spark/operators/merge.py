@@ -50,6 +50,18 @@ Scale notes: the kernel's input rows are already-compressed blocks
 the term is; waves bound the blast radius of a failure and give the
 manifest its checkpoint granularity. At 10^12 docs: thousands of term
 buckets, waves sized so one wave ~ one cluster-full of tasks.
+
+Catalog note: unlike the build (sources/tables.py shim), the merge's
+writes are deliberately RAW parquet in this sandbox — its checkpoint
+semantics hang on dynamic partition overwrite, whose Iceberg equivalent
+is ``overwritePartitions()`` / ``replaceWhere`` on the v2 writer, plus
+real positional deletes instead of the tombstones table. Flipping the
+merge to a live catalog therefore changes these call sites (the wave
+overwrite, the tombstone write, the finalize overwrites, and the
+pyarrow tombstone reads in ``_load_tombstones``) as a unit; none of it
+is executable here (no Iceberg jars, no network — SURVEY §7.6), so the
+parquet path stays the tested truth rather than shipping an
+unexecutable branch.
 """
 
 from __future__ import annotations
@@ -60,12 +72,13 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 from .. import schemas
 from ..config import DEFAULT, IndexConfig
 from ..functions import bm25
-from .build import IndexPaths, _term_bucket_py
+from .build import IndexPaths
 
 
 class MergeInterrupted(RuntimeError):
@@ -139,7 +152,6 @@ def _merge_blocks_factory(
     docs are dropped at decode; latest-epoch-wins dedup then handles
     docs present in several epochs' postings of the SAME term."""
     bs = cfg.block_size
-    n_buckets = cfg.n_term_buckets
 
     def merge_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
         rb_key = int(pdf["range_bucket"].iloc[0])
@@ -189,7 +201,10 @@ def _merge_blocks_factory(
 
         term = pdf["term"].iloc[0]
         rb = int(pdf["range_bucket"].iloc[0])
-        tb = _term_bucket_py(term, n_buckets)
+        # STORED bucket, never recomputed: recomputing with the merge
+        # process' cfg would silently route output into the wrong
+        # partitions if it disagrees with the build-time geometry.
+        tb = int(pdf["term_bucket"].iloc[0])
         tf_norms = bm25.tf_norm(tfs, dls, avgdl)
 
         from ..functions.codec import encode_doc_gaps_many, pfor_encode_many
@@ -245,13 +260,15 @@ def _read_done_buckets(spark: SparkSession, paths: IndexPaths, epoch: int) -> se
             .distinct()
             .collect()
         )
-    except Exception:  # no manifest yet -> nothing done
+    except AnalysisException:  # no manifest yet -> nothing done
         return set()
+    # Any other failure (storage/permission/corruption) must propagate:
+    # silently returning set() would re-merge an entire committed index.
     return {int(r["partition_id"]) for r in rows}
 
 
 def _doclen_and_tombstones(
-    spark: SparkSession, inputs: list[IndexPaths], cfg: IndexConfig
+    spark: SparkSession, inputs: list[IndexPaths], range_bits: int
 ) -> tuple[DataFrame, DataFrame]:
     """(merged doclen, tombstones). One ranking window over the unioned
     doclens yields both: rank 1 per doc_id is the surviving (latest)
@@ -272,7 +289,7 @@ def _doclen_and_tombstones(
     doclen = ranked.filter(F.col("_rn") == 1).select("doc_id", "dl")
     tombstones = ranked.filter(F.col("_rn") > 1).select(
         "epoch",
-        F.shiftright("doc_id", cfg.range_bits).cast("long").alias("range_bucket"),
+        F.shiftright("doc_id", range_bits).cast("long").alias("range_bucket"),
         "doc_id",
     )
     return doclen, tombstones
@@ -309,9 +326,42 @@ def merge_indexes(
             f"merge inputs must have distinct epochs, got {sorted(epochs)}"
         )
     epoch_out = max(epochs)
+    # Geometry comes FROM the inputs, never from this process' cfg: a
+    # term-bucket mismatch would make waves overwrite partitions other
+    # waves committed; a range_bits mismatch would make every tombstone
+    # lookup miss. Mixed-geometry inputs need a rebuild, not a merge.
+    geoms = {
+        (int(s["n_term_buckets"]), int(s["range_bits"])) for s in stats
+    }
+    if len(geoms) != 1:
+        raise ValueError(f"merge inputs have mixed index geometry: {sorted(geoms)}")
+    (n_term_buckets, range_bits), = geoms
+
+    # Resume is only meaningful against the SAME input set: the manifest
+    # keys buckets by (stage, epoch, bucket), so a rerun with different
+    # inputs would silently skip everything while finalize stats reflect
+    # the new inputs. A small marker pins the inputs this out_root's
+    # manifest belongs to.
+    inputs_sig = repr(sorted(
+        (int(s["epoch"]), int(s["n_docs"]), float(s["avgdl"])) for s in stats
+    ))
+    marker_path = f"{out.root}/merge_inputs"
+    if resume:
+        try:
+            prev = spark.read.parquet(marker_path).collect()[0]["inputs_sig"]
+        except AnalysisException:
+            prev = None
+        if prev is not None and prev != inputs_sig:
+            raise ValueError(
+                "resume=True but this out_root was merged from a different "
+                "input set; merge into a fresh root or pass resume=False"
+            )
+    spark.createDataFrame(
+        [(inputs_sig,)], "inputs_sig string"
+    ).write.mode("overwrite").parquet(marker_path)
 
     # Merged corpus stats FIRST — block-max bounds depend on avgdl.
-    doclen, tombstones = _doclen_and_tombstones(spark, inputs, cfg)
+    doclen, tombstones = _doclen_and_tombstones(spark, inputs, range_bits)
     row = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["a"])
 
@@ -376,7 +426,10 @@ def merge_indexes(
         ).partitionBy("term_bucket").parquet(out.segments)
 
         wall_ms = int((time.monotonic() - tw) * 1000)
-        wave_seg = spark.read.parquet(out.segments).filter(
+        # Explicit schema: a wave whose every bucket produced zero
+        # blocks leaves a part-less directory that schema inference
+        # cannot read (build.py's empty-index path documents the same).
+        wave_seg = spark.read.schema(schemas.SEGMENTS).parquet(out.segments).filter(
             F.col("term_bucket").isin(wave)
         )
         manifest = (
@@ -418,7 +471,7 @@ def merge_indexes(
             raise MergeInterrupted(f"injected failure after wave {wi + 1}")
 
     # Finalize (idempotent overwrites) from the COMMITTED merged segments.
-    seg = spark.read.parquet(out.segments)
+    seg = spark.read.schema(schemas.SEGMENTS).parquet(out.segments)
     dictionary = (
         seg.groupBy("term", "term_bucket")
         .agg(
@@ -431,7 +484,8 @@ def merge_indexes(
     dictionary.write.mode("overwrite").parquet(out.dictionary)
     doclen.write.mode("overwrite").parquet(out.doclen)
     spark.createDataFrame(
-        [(n_docs, avgdl, epoch_out, stats[0]["analysis_version"])],
+        [(n_docs, avgdl, epoch_out, stats[0]["analysis_version"],
+          n_term_buckets, range_bits)],
         schema=schemas.CORPUS_STATS,
     ).write.mode("overwrite").parquet(out.corpus_stats)
 

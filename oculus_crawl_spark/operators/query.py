@@ -63,7 +63,7 @@ from ..functions.codec import (
     pfor_decode,
     pfor_decode_many,
 )
-from .build import IndexPaths, _term_bucket_py
+from .build import IndexPaths
 
 
 # --- sparse-table range-max (vectorized overlap bounds) ----------------------
@@ -483,7 +483,15 @@ class SearchSession:
         seg = spark.read.parquet(self.paths.segments).select(*_SEG_COLS)
         # Ranges actually present (auto gather switch + partition sizing):
         # dense doc_ids make this exact.
-        self.n_ranges_est = (self.n_docs >> cfg.range_bits) + 1
+        # Stored geometry wins over the caller's cfg — a session opened
+        # with a different range_bits would mis-size the cached layout
+        # and the gather auto-switch.
+        range_bits = (
+            int(stats["range_bits"])
+            if "range_bits" in stats.__fields__
+            else cfg.range_bits
+        )
+        self.n_ranges_est = (self.n_docs >> range_bits) + 1
         if cache_segments:
             # Serving-tier shard load: co-partition blocks by their doc
             # range ONCE (this shuffle is paid at session open, never per

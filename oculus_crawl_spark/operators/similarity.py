@@ -158,6 +158,8 @@ def ivf_build(
 
     def assign_batches(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batches DO reach mapInPandas
+                continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             pdf = pdf[["vec_id", "embedding"]].copy()
@@ -500,21 +502,45 @@ ORDER BY q_id, rank
 """
 
 
-_IVF_CACHE: dict[str, str] = {}
+_IVF_CACHE: dict[str, tuple[tuple, str]] = {}
+
+
+def _emb_signature(sf_dir: str) -> tuple:
+    """Content staleness token for the embeddings table (file names +
+    mtimes) — a cache keyed on the sf_dir STRING alone serves a stale
+    index after the table is rewritten in place."""
+    import os
+
+    try:
+        with os.scandir(f"{sf_dir}/embeddings.parquet") as it:
+            return tuple(
+                sorted((e.name, e.stat().st_mtime_ns) for e in it if e.is_file())
+            )
+    except NotADirectoryError:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ()
 
 
 def q_ann_ivf(spark, sf_dir):
     """Driver entry runs the REAL architecture: write the cell-
-    partitioned index once per (process, sf_dir), probe via the pruned
-    scan path."""
+    partitioned index once per (process, sf_dir, table content), probe
+    via the pruned scan path."""
+    import shutil
     import tempfile
 
     emb = _emb(spark, sf_dir)
-    path = _IVF_CACHE.get(sf_dir)
-    if path is None:
+    sig = _emb_signature(sf_dir)
+    hit = _IVF_CACHE.get(sf_dir)
+    if hit is None or hit[0] != sig:
+        if hit is not None:
+            shutil.rmtree(hit[1], ignore_errors=True)
         path = tempfile.mkdtemp(prefix="ocs_ivf_")
         ivf_write(emb, path)
-        _IVF_CACHE[sf_dir] = path
+        _IVF_CACHE[sf_dir] = (sig, path)
+    else:
+        path = hit[1]
     probes = emb.filter(F.col("vec_id") < N_PROBE_IDS)
     return ivf_topk_indexed(spark, path, probes).orderBy("q_id", "rank")
 

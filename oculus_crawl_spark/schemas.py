@@ -42,6 +42,13 @@ CORPUS_STATS = T.StructType(
         T.StructField("avgdl", T.DoubleType(), False),
         T.StructField("epoch", T.LongType(), False),
         T.StructField("analysis_version", T.StringType(), False),
+        # Index geometry, persisted so merges and query sessions can
+        # never silently apply a different bucketing than the one the
+        # segments were written with (a term_bucket mismatch makes a
+        # merge overwrite wrong partitions; a range_bits mismatch makes
+        # tombstone lookups miss).
+        T.StructField("n_term_buckets", T.IntegerType(), False),
+        T.StructField("range_bits", T.IntegerType(), False),
     ]
 )
 

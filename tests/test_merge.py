@@ -277,3 +277,45 @@ def test_recrawl_to_empty_text_tombstones_old_postings(spark):
             assert dictionary.get(term, 0) == exp, term
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_rejects_mixed_geometry(spark):
+    """Indexes built with different bucket geometry cannot be merged:
+    waves slice by stored term_bucket, so a silent mismatch would
+    overwrite partitions other waves committed."""
+    from oculus_crawl_spark.config import IndexConfig
+
+    tmp = tempfile.mkdtemp(prefix="ocs_geom_")
+    try:
+        docs = _docs(spark).filter(F.col("doc_id") < 20)
+        build_index(docs.filter("doc_id < 10"), f"{tmp}/a", epoch=0,
+                    cfg=IndexConfig(n_term_buckets=16))
+        build_index(docs.filter("doc_id >= 10"), f"{tmp}/b", epoch=1,
+                    cfg=IndexConfig(n_term_buckets=32))
+        with pytest.raises(ValueError, match="mixed index geometry"):
+            merge_indexes(spark, [f"{tmp}/a", f"{tmp}/b"], f"{tmp}/m")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_resume_rejects_changed_inputs(spark):
+    """Re-merging into an existing out_root with a DIFFERENT input set
+    must fail fast: the manifest keys buckets by (stage, epoch, bucket)
+    only, so a silent resume would skip all work while finalize stats
+    reflect the new inputs."""
+    tmp = tempfile.mkdtemp(prefix="ocs_resume_inputs_")
+    try:
+        docs = _docs(spark).filter(F.col("doc_id") < 30)
+        build_index(docs.filter("doc_id % 3 = 0"), f"{tmp}/e0", epoch=0)
+        build_index(docs.filter("doc_id % 3 = 1"), f"{tmp}/e1", epoch=1)
+        build_index(docs.filter("doc_id % 3 = 2"), f"{tmp}/e2", epoch=2)
+        merge_indexes(spark, [f"{tmp}/e1", f"{tmp}/e2"], f"{tmp}/m")
+        with pytest.raises(ValueError, match="different input set"):
+            merge_indexes(
+                spark, [f"{tmp}/e0", f"{tmp}/e1", f"{tmp}/e2"], f"{tmp}/m"
+            )
+        # same inputs -> resume is a no-op rerun and stays consistent
+        res = merge_indexes(spark, [f"{tmp}/e1", f"{tmp}/e2"], f"{tmp}/m")
+        assert res.buckets_merged == 0 and res.buckets_skipped > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
