@@ -99,6 +99,24 @@ class IndexPaths:
         return os.path.join(self.root, "tombstones")
 
 
+def index_geometry(stats_row) -> tuple[int, int]:
+    """(n_term_buckets, range_bits) from a corpus_stats row.
+
+    Indexes written before geometry became self-describing are refused
+    LOUDLY on every surface — merge and serving alike — rather than one
+    surface falling back to the process cfg (which silently mis-sizes
+    the cached layout and tombstone lookups whenever the cfg differs
+    from the build's). Old-format indexes require a rebuild."""
+    fields = stats_row.__fields__
+    if "n_term_buckets" not in fields or "range_bits" not in fields:
+        raise ValueError(
+            "corpus_stats predates self-describing index geometry "
+            "(missing n_term_buckets/range_bits); rebuild this index "
+            "before merging or serving it"
+        )
+    return int(stats_row["n_term_buckets"]), int(stats_row["range_bits"])
+
+
 # --- term bucketing (shared by build + dictionary + query pruning) -----------
 
 

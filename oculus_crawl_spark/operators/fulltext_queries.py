@@ -21,7 +21,44 @@ from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize
 from .build import build_index_from_documents
 from .query import search, search_bruteforce
 
-_INDEX_CACHE: dict[str, str] = {}
+# Every built-index cache below is keyed by (process, sf_dir, CONTENT):
+# the value is (documents-table signature, servable root, owned dir).
+# Same staleness pattern as similarity._emb_signature — a cache keyed on
+# the sf_dir string alone would serve a stale index (and leak its
+# mkdtemp root) after an in-place rewrite of the fixture table.
+_INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+
+def _docs_signature(sf_dir: str) -> tuple:
+    """Content staleness token for the documents table (names + mtimes)."""
+    import os
+
+    try:
+        with os.scandir(f"{sf_dir}/documents.parquet") as it:
+            return tuple(
+                sorted((e.name, e.stat().st_mtime_ns) for e in it if e.is_file())
+            )
+    except NotADirectoryError:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ()
+
+
+def _cached_root(cache, sf_dir: str, builder) -> str:
+    """builder() -> (servable_root, owned_dir); owned_dir is what gets
+    removed when the table content changes under the same sf_dir."""
+    import shutil
+
+    sig = _docs_signature(sf_dir)
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    if hit is not None:
+        shutil.rmtree(hit[2], ignore_errors=True)
+    root, owned = builder()
+    cache[sf_dir] = (sig, root, owned)
+    return root
 
 
 def ensure_conf(spark: SparkSession) -> None:
@@ -41,23 +78,24 @@ def ensure_conf(spark: SparkSession) -> None:
 
 def get_index(spark: SparkSession, sf_dir: str) -> str:
     ensure_conf(spark)
-    root = _INDEX_CACHE.get(sf_dir)
-    if root is None:
+
+    def build():
         root = tempfile.mkdtemp(prefix="ocs_index_")
         build_index_from_documents(spark, sf_dir, root)
-        _INDEX_CACHE[sf_dir] = root
-    return root
+        return root, root
+
+    return _cached_root(_INDEX_CACHE, sf_dir, build)
 
 
-_MERGED_CACHE: dict[str, str] = {}
+_MERGED_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def get_merged_index(spark: SparkSession, sf_dir: str) -> str:
     """Two disjoint half-corpus epochs merged by the E14 resumable merge
     — searching it must be rank-identical to the full-corpus oracle."""
     ensure_conf(spark)
-    root = _MERGED_CACHE.get(sf_dir)
-    if root is None:
+
+    def build():
         from .build import build_index
         from .merge import merge_indexes
 
@@ -68,9 +106,9 @@ def get_merged_index(spark: SparkSession, sf_dir: str) -> str:
         build_index(docs.filter(F.col("doc_id") % 2 == 0), f"{tmp}/ep0", epoch=0)
         build_index(docs.filter(F.col("doc_id") % 2 == 1), f"{tmp}/ep1", epoch=1)
         merge_indexes(spark, [f"{tmp}/ep0", f"{tmp}/ep1"], f"{tmp}/merged")
-        root = f"{tmp}/merged"
-        _MERGED_CACHE[sf_dir] = root
-    return root
+        return f"{tmp}/merged", tmp
+
+    return _cached_root(_MERGED_CACHE, sf_dir, build)
 
 
 def _merged(query: str, k: int = 10):
@@ -125,7 +163,7 @@ def _oracle(query: str, k: int = 10) -> str:
     )
 
 
-_PAGES_CACHE: dict[str, str] = {}
+_PAGES_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def get_pages_index(spark: SparkSession, sf_dir: str) -> str:
@@ -136,8 +174,8 @@ def get_pages_index(spark: SparkSession, sf_dir: str) -> str:
     the expected corpus as a pure function of documents, so this entry
     driver-grades ops E1/E2/docmap end to end."""
     ensure_conf(spark)
-    root = _PAGES_CACHE.get(sf_dir)
-    if root is None:
+
+    def build():
         from ..sources.pages import synthesize_pages
         from .build import build_index_from_pages
 
@@ -146,8 +184,9 @@ def get_pages_index(spark: SparkSession, sf_dir: str) -> str:
         )
         root = tempfile.mkdtemp(prefix="ocs_pages_")
         build_index_from_pages(pages, root)
-        _PAGES_CACHE[sf_dir] = root
-    return root
+        return root, root
+
+    return _cached_root(_PAGES_CACHE, sf_dir, build)
 
 
 def _pages_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +209,7 @@ FROM documents ORDER BY url
 """
 
 
-_PAGES_EPOCH1_CACHE: dict[str, str] = {}
+_PAGES_EPOCH1_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def get_pages_epoch1_index(spark: SparkSession, sf_dir: str) -> str:
@@ -178,9 +217,12 @@ def get_pages_epoch1_index(spark: SparkSession, sf_dir: str) -> str:
     ``prior_docmap`` pointing at the epoch-0 pages index, so re-crawled
     urls KEEP their doc_id and only new urls get fresh dense ids offset
     past the prior max. Epoch-1 crawl = every 10th document re-crawled
-    with ' again' appended, plus a 'mirror' slice of brand-new urls."""
-    root1 = _PAGES_EPOCH1_CACHE.get(sf_dir)
-    if root1 is None:
+    with ' again' appended, a 'mirror' slice of brand-new urls, and a
+    DELETION slice (doc_id % 10 == 3) re-crawled as EMPTY html — the
+    page vanished from the web; its dl=0 sentinel row makes the merge
+    tombstone the epoch-0 postings (term_frequencies explode_outer)."""
+
+    def build():
         from ..sources.pages import synthesize_pages
         from .build import build_index_from_pages
 
@@ -201,13 +243,22 @@ def get_pages_epoch1_index(spark: SparkSession, sf_dir: str) -> str:
             )
             .withColumn("warc_ts", F.expr("warc_ts + interval 3 hours"))
         )
-        pages1 = recrawl.unionByName(mirror).drop("_expected_doc_id", "text")
+        gone = (
+            base.filter(F.col("_expected_doc_id") % 10 == 3)
+            .withColumn("warc_ts", F.expr("warc_ts + interval 2 hours"))
+            .withColumn("html", F.lit(b"<html><body></body></html>"))
+        )
+        pages1 = (
+            recrawl.unionByName(mirror).unionByName(gone)
+            .drop("_expected_doc_id", "text")
+        )
         root1 = tempfile.mkdtemp(prefix="ocs_pages_ep1_")
         build_index_from_pages(
             pages1, root1, epoch=1, prior_docmap=f"{root0}/docmap"
         )
-        _PAGES_EPOCH1_CACHE[sf_dir] = root1
-    return root1
+        return root1, root1
+
+    return _cached_root(_PAGES_EPOCH1_CACHE, sf_dir, build)
 
 
 def _pages_docmap_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,7 +317,7 @@ FROM documents
 """
 
 
-_PAGES_MERGED_CACHE: dict[str, str] = {}
+_PAGES_MERGED_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def get_pages_merged_index(spark: SparkSession, sf_dir: str) -> str:
@@ -280,16 +331,17 @@ def get_pages_merged_index(spark: SparkSession, sf_dir: str) -> str:
     function of ``documents``."""
     ensure_conf(spark)  # unconditional, like every sibling get_* (the
     # driver owns the session; warm-cache calls must re-apply too)
-    root = _PAGES_MERGED_CACHE.get(sf_dir)
-    if root is None:
+
+    def build():
         from .merge import merge_indexes
 
         root0 = get_pages_index(spark, sf_dir)
         root1 = get_pages_epoch1_index(spark, sf_dir)
-        root = tempfile.mkdtemp(prefix="ocs_pages_merged_") + "/merged"
-        merge_indexes(spark, [root0, root1], root)
-        _PAGES_MERGED_CACHE[sf_dir] = root
-    return root
+        tmp = tempfile.mkdtemp(prefix="ocs_pages_merged_")
+        merge_indexes(spark, [root0, root1], f"{tmp}/merged")
+        return f"{tmp}/merged", tmp
+
+    return _cached_root(_PAGES_MERGED_CACHE, sf_dir, build)
 
 
 def _pages_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,22 +367,34 @@ def _pages_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Final corpus state after crawl -> re-crawl -> merge, as a pure function
 # of documents: every 10th url carries the epoch-1 re-crawl (' again'
 # appended — this SHADOWS the epoch-0 dup slice's ' updated' text, since
-# doc_id%50==0 implies doc_id%10==0), mirror urls add unchanged copies.
+# doc_id%50==0 implies doc_id%10==0), mirror urls add unchanged copies,
+# and doc_id%10==3 urls were re-crawled EMPTY (the page was deleted):
+# their epoch-0 postings are tombstoned away, but the doc itself remains
+# in the merged doclen with dl=0 (the explode_outer sentinel contract),
+# so it still counts in n_docs/avgdl while matching nothing — which is
+# why dl here comes from the corpus text per row, NOT from the toks CTE
+# (a groupBy over toks would silently drop zero-token docs from stats).
 _PAGES_MERGED_SEARCH_SQL = f"""
 WITH corpus AS (
   SELECT printf('https://example.org/%s/%012d', source, doc_id) AS url,
-         CASE WHEN doc_id % 10 = 0 THEN text || ' again' ELSE text END AS text
+         CASE WHEN doc_id % 10 = 3 THEN ''
+              WHEN doc_id % 10 = 0 THEN text || ' again'
+              ELSE text END AS text
   FROM documents
   UNION ALL
   SELECT printf('https://example.org/mirror/%012d', doc_id) AS url, text
   FROM documents WHERE doc_id % 10 = 5
 ),
+dl AS (
+  SELECT url,
+         len(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS dl
+  FROM corpus
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 toks AS (
   SELECT url, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
   FROM corpus
 ),
-dl AS (SELECT url, count(*) AS dl FROM toks GROUP BY url),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT url, term, count(*) AS tf FROM toks GROUP BY url, term),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 qterms(term) AS (VALUES ('dup'), ('again')),

@@ -78,7 +78,7 @@ from pyspark.sql import functions as F
 from .. import schemas
 from ..config import DEFAULT, IndexConfig
 from ..functions import bm25
-from .build import IndexPaths
+from .build import IndexPaths, index_geometry
 
 
 class MergeInterrupted(RuntimeError):
@@ -330,9 +330,7 @@ def merge_indexes(
     # term-bucket mismatch would make waves overwrite partitions other
     # waves committed; a range_bits mismatch would make every tombstone
     # lookup miss. Mixed-geometry inputs need a rebuild, not a merge.
-    geoms = {
-        (int(s["n_term_buckets"]), int(s["range_bits"])) for s in stats
-    }
+    geoms = {index_geometry(s) for s in stats}
     if len(geoms) != 1:
         raise ValueError(f"merge inputs have mixed index geometry: {sorted(geoms)}")
     (n_term_buckets, range_bits), = geoms
@@ -348,9 +346,13 @@ def merge_indexes(
     marker_path = f"{out.root}/merge_inputs"
     if resume:
         try:
-            prev = spark.read.parquet(marker_path).collect()[0]["inputs_sig"]
+            # A crash can leave a readable-but-EMPTY marker directory
+            # (the parquet files committed, the rows not): zero rows is
+            # "no marker", not an IndexError.
+            rows = spark.read.parquet(marker_path).collect()
         except AnalysisException:
-            prev = None
+            rows = []
+        prev = rows[0]["inputs_sig"] if rows else None
         if prev is not None and prev != inputs_sig:
             raise ValueError(
                 "resume=True but this out_root was merged from a different "

@@ -56,6 +56,11 @@ def _feature_batches(
 
     for pdf in batches:
         payloads = pdf["media"]
+        if payloads.isna().any():
+            # Same contract as the JVM path's assert: a NULL payload is
+            # a corrupt input row, not a row to silently feature as NULL.
+            raise ValueError("NULL media payload (doc_id="
+                             f"{pdf.loc[payloads.isna(), 'doc_id'].iloc[0]})")
         if decoder is not None:
             # Real path: decode then featurize (not reachable in sandbox).
             payloads = payloads.map(lambda b: decoder(b, "image"))
@@ -89,7 +94,13 @@ def extract_media_features(
     to the Arrow ``mapInPandas`` pass, which is where real pixel/sample
     featurization must run."""
     if decoder is None:
-        fp = F.md5("media")
+        # NULL media would md5/octet_length to NULL feature rows here
+        # while the Python path raises — the two paths must agree, so
+        # both fail loudly (assert_true raises on the first NULL row).
+        guard = F.assert_true(
+            F.col("media").isNotNull(), F.lit("NULL media payload")
+        )
+        fp = F.when(guard.isNull(), F.md5("media"))
         return media_df.select(
             "doc_id",
             "media_type",

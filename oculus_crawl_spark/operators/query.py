@@ -63,7 +63,7 @@ from ..functions.codec import (
     pfor_decode,
     pfor_decode_many,
 )
-from .build import IndexPaths
+from .build import IndexPaths, index_geometry
 
 
 # --- sparse-table range-max (vectorized overlap bounds) ----------------------
@@ -485,12 +485,11 @@ class SearchSession:
         # dense doc_ids make this exact.
         # Stored geometry wins over the caller's cfg — a session opened
         # with a different range_bits would mis-size the cached layout
-        # and the gather auto-switch.
-        range_bits = (
-            int(stats["range_bits"])
-            if "range_bits" in stats.__fields__
-            else cfg.range_bits
-        )
+        # and the gather auto-switch. Pre-geometry indexes are refused
+        # here exactly like merge_indexes refuses them (index_geometry
+        # raises): one surface silently falling back to cfg while the
+        # other hard-fails was an inconsistent contract.
+        range_bits = index_geometry(stats)[1]
         self.n_ranges_est = (self.n_docs >> range_bits) + 1
         if cache_segments:
             # Serving-tier shard load: co-partition blocks by their doc
