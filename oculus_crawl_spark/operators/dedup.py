@@ -366,40 +366,62 @@ def _unique_shingle_sets(
     return hu, _segment_starts(n_u), n_u
 
 
+def _shingle_set_batch(text: pd.Series) -> pd.Series:
+    """text -> per-doc sorted-unique shingle-hash set, packed as BINARY
+    (the raw little-endian int64 buffer, 8 B/distinct shingle).
+
+    Binary, not array<long>, deliberately: an array column pays per-
+    ELEMENT costs on both sides of every hop (UnsafeArrayData in the
+    join shuffle, one ndarray object per CELL in the Arrow->pandas
+    crossing), measured 1.5x the whole verify wall at 270k-pair fanout.
+    A bytes cell crosses every boundary as one opaque buffer and
+    reopens in the kernel as a zero-copy np.frombuffer view."""
+    hu, starts, n_u = _unique_shingle_sets(text)
+    h64 = hu.view(np.int64)
+    return pd.Series(
+        [h64[s : s + n].tobytes() for s, n in zip(starts, n_u)], dtype=object
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def shingle_set_udf(text: pd.Series) -> pd.Series:
+    return _shingle_set_batch(text)
+
+
 def _verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Exact Jaccard per candidate pair, batch-wide: each UNIQUE doc in
-    the batch is shingle-hashed ONCE (a doc in m candidate pairs was
-    previously re-tokenized and re-shingled m times, per pair, in pure
-    Python — on a duplication-heavy corpus candidates ~ true pairs, a
-    large multiple of docs), then |A∩B| per pair is one vectorized
-    ``np.searchsorted`` of the smaller sorted-unique hash array into the
-    larger. Jaccard over 64-bit SipHashes of the shingles — identical to
-    string-set Jaccard absent a within-doc hash collision (~n²/2⁶⁴;
-    equivalence pytest-pinned on the corpus)."""
+    """Exact Jaccard per candidate pair from PRE-JOINED sorted-unique
+    shingle-hash sets (columns a_h/b_h, binary-packed int64 — see
+    _shingle_set_batch) — no text and no re-hash reach this kernel. |A∩B| for ALL pairs is computed in one fused
+    pass (the offsets trick, no per-pair Python loop): flatten every
+    pair's two arrays with a pair-id column, lexsort by (pair, value),
+    and count adjacent equal values within a pair — each side's array
+    is duplicate-free, so a common value contributes exactly one
+    adjacent duplicate. Jaccard over 64-bit SipHashes of the shingles
+    is identical to string-set Jaccard absent a within-doc hash
+    collision (~n²/2⁶⁴; equivalence pytest-pinned)."""
     if not len(pdf):
         return pd.DataFrame(
             {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}
         )
-    ids = pd.concat([pdf["a_id"], pdf["b_id"]], ignore_index=True)
-    texts = pd.concat([pdf["a_text"], pdf["b_text"]], ignore_index=True)
-    uniq = pd.DataFrame({"id": ids, "text": texts}).drop_duplicates("id")
-    hu, starts, n_u = _unique_shingle_sets(uniq["text"])
-    row_of = {int(i): j for j, i in enumerate(uniq["id"].to_numpy())}
-    a_ids = pdf["a_id"].to_numpy()
-    b_ids = pdf["b_id"].to_numpy()
-    jac = np.zeros(len(pdf), dtype=np.float64)
-    for p in range(len(pdf)):
-        ra, rb = row_of[int(a_ids[p])], row_of[int(b_ids[p])]
-        a = hu[starts[ra] : starts[ra] + n_u[ra]]
-        b = hu[starts[rb] : starts[rb] + n_u[rb]]
-        if len(a) > len(b):
-            a, b = b, a
-        if len(b) == 0:
-            continue
-        pos = np.minimum(np.searchsorted(b, a), len(b) - 1)
-        inter = int(np.count_nonzero(b[pos] == a))
-        jac[p] = inter / (len(a) + len(b) - inter)
+    n = len(pdf)
+    a_sets = [np.frombuffer(x, dtype=np.int64) for x in pdf["a_h"]]
+    b_sets = [np.frombuffer(x, dtype=np.int64) for x in pdf["b_h"]]
+    na = np.fromiter(map(len, a_sets), dtype=np.int64, count=n)
+    nb = np.fromiter(map(len, b_sets), dtype=np.int64, count=n)
+    jac = np.zeros(n, dtype=np.float64)
+    if na.sum() + nb.sum() > 0:
+        pids = np.concatenate(
+            [np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)]
+        )
+        vals = np.concatenate(a_sets + b_sets)
+        order = np.lexsort((vals, pids))
+        pv, vv = pids[order], vals[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(pv[1:][dup], minlength=n)
+        denom = na + nb - inter
+        nz = denom > 0
+        jac[nz] = inter[nz] / denom[nz]
     out = pdf[["a_id", "b_id"]].copy()
     out["jaccard"] = np.round(jac, 6)
     return out
@@ -408,22 +430,25 @@ def _verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
 def minhash_near_dup_pairs(
     docs: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """MinHash-LSH candidates, exact-verified: join texts back in and
-    compute true shingle Jaccard per candidate inside an Arrow UDF.
+    """MinHash-LSH candidates, exact-verified.
+
+    The verify join ships each doc's sorted-unique shingle-HASH array
+    (8 B/distinct shingle), not its raw text: on a duplication-heavy
+    corpus (pairs ≈ true near-dups ≫ docs) the candidate join's shuffle
+    is the family's dominant data movement, and hash arrays both bound
+    it at O(pairs × distinct shingles) — independent of raw doclen —
+    and delete the verify kernel's whole re-tokenize/re-hash stage
+    (each doc is shingle-hashed exactly once, in the projection below).
     Output shape == ngram_jaccard_pairs (the SQL oracle grades recall)."""
     cand = minhash_candidate_pairs(docs)
-    texts = docs.select("doc_id", "text")
+    hsets = docs.select("doc_id", shingle_set_udf("text").alias("h"))
     joined = (
         cand.join(
-            texts.select(
-                F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
-            ),
+            hsets.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h")),
             "a_id",
         )
         .join(
-            texts.select(
-                F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
-            ),
+            hsets.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h")),
             "b_id",
         )
     )

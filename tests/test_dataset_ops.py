@@ -214,11 +214,13 @@ def test_jaccard_tokens_pure():
 
 
 def test_batched_verify_matches_perpair_string_jaccard():
-    """The batched exact-verify kernel (unique docs shingle-hashed once,
-    per-pair searchsorted intersection over sorted-unique hash arrays)
-    must reproduce the per-pair string-set formulation exactly —
-    including empty/short texts, repeated docs across pairs, unicode,
-    and shingle multisets (duplicate shingles must count once)."""
+    """The fused exact-verify kernel (pre-computed sorted-unique
+    shingle-hash arrays, one lexsort merge-count over ALL pairs — no
+    per-pair Python loop) must reproduce the per-pair string-set
+    formulation exactly — including empty/short texts, repeated docs
+    across pairs, unicode, and shingle multisets (duplicate shingles
+    must count once). The hash arrays are built by the same
+    ``shingle_set_udf`` kernel the verify join projects."""
     from oculus_crawl_spark.functions.analysis import tokenize
 
     texts = {
@@ -231,13 +233,14 @@ def test_batched_verify_matches_perpair_string_jaccard():
         6: "one two three four five six seven eight",
         7: "the quick brown fox jumps over the lazy dog",  # dup of 0
     }
+    hsets = dedup._shingle_set_batch(pd.Series([texts[i] for i in range(8)]))
     pairs = [(0, 1), (0, 7), (2, 3), (3, 4), (4, 4), (5, 6), (1, 6), (0, 1)]
     pdf = pd.DataFrame(
         {
             "a_id": [a for a, _ in pairs],
             "b_id": [b for _, b in pairs],
-            "a_text": [texts[a] for a, _ in pairs],
-            "b_text": [texts[b] for _, b in pairs],
+            "a_h": [hsets[a] for a, _ in pairs],
+            "b_h": [hsets[b] for _, b in pairs],
         }
     )
     got = dedup._verify_pairs(pdf)
