@@ -21,11 +21,15 @@ class IndexConfig:
     # (Ding & Suel, SIGIR 2011) and keeps per-block decode vectorizable.
     block_size: int = 128
 
-    # Salt count S for the two-phase salted posting assembly (SURVEY E7).
+    # Salt-count FLOOR for the two-phase salted posting assembly (E7).
     # Phase 1 groups on (term, salt) so a hot term (a stop word occurring
     # in ~every doc) is split across S tasks; phase-1 output is already
     # block-compressed, so the phase-2 shuffle moves ~1-2 bytes/posting.
-    # Scale guidance: S ~ executors; sandbox default keeps groups > 1 row.
+    # The EFFECTIVE S is derived per epoch by operators.build.
+    # derive_n_salts (SURVEY §7.4's metrics-driven contract): bounded
+    # worst-case range occupancy first epoch, prior-generation E6/E8
+    # metrics afterwards — a full 2^20-doc range derives S=64; this
+    # floor keeps small sandbox corpora at a fixed, deterministic 8.
     n_salts: int = 8
 
     # Term buckets — the partition column of the segments table.

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Iterable
 
 import numpy as np
@@ -97,6 +97,58 @@ class IndexPaths:
         # Superseded (epoch, range_bucket, doc_id) rows written by the
         # merge — the Iceberg-v2 positional-delete-file analogue.
         return os.path.join(self.root, "tombstones")
+
+
+# Target postings per phase-1 run. Sized so the hottest possible group
+# — a stop word present in EVERY doc of a full 2^20-doc range — derives
+# S = 2^20 / 2^14 = 64 salts, SURVEY §7.4's at-scale default, with a
+# decoded run buffer of ~384 KB (3 x 16k x 8 B arrays) per kernel group.
+SALT_TARGET_RUN_POSTINGS = 1 << 14
+
+
+def derive_n_salts(
+    n_docs: int,
+    cfg: IndexConfig,
+    spark: SparkSession | None = None,
+    prior_index: str | None = None,
+) -> int:
+    """Metrics-driven salt count S for the salted two-phase assembly
+    (SURVEY §7.4: "S adaptive from E13 metrics of a prior epoch").
+
+    S's one job is bounding the postings a single (term, range_bucket,
+    salt) run can hold. The worst group is a term present in every doc
+    of its range: min(n_docs, 2^range_bits) postings. First epoch that
+    worst case IS the bound; with a prior generation's metrics (E6
+    dictionary max df + E8 corpus stats — the committed form of the
+    E13 accounting) it tightens to the hottest OBSERVED per-range df,
+    with 2x headroom for corpus drift between epochs.
+
+    ``cfg.n_salts`` is the FLOOR (sandbox default 8 — small corpora
+    never derive above it, keeping local runs deterministic); the 1024
+    cap bounds phase-1 group-count inflation for degenerate configs.
+    Cluster width deliberately does NOT enter: hot-term parallelism is
+    already n_ranges x S (~10^6 ranges at 10^12 docs), so salts beyond
+    the run-size bound add per-run overhead without new parallelism."""
+    hot = min(int(n_docs), 1 << cfg.range_bits)
+    if prior_index is not None and spark is not None:
+        from pyspark.errors import AnalysisException
+
+        p = IndexPaths(prior_index)
+        try:
+            stats = spark.read.parquet(p.corpus_stats).collect()[0]
+            row = (
+                spark.read.parquet(p.dictionary)
+                .agg(F.max("df").alias("m"))
+                .collect()[0]
+            )
+        except AnalysisException:
+            stats = row = None  # unreadable prior -> keep worst-case bound
+        if stats is not None and row is not None and row["m"] is not None:
+            prior_ranges = (int(stats["n_docs"]) >> index_geometry(stats)[1]) + 1
+            observed = -(-int(row["m"]) // prior_ranges)  # ceil df/range
+            hot = min(hot, 2 * observed)
+    need = -(-hot // SALT_TARGET_RUN_POSTINGS)
+    return int(min(1024, max(cfg.n_salts, need)))
 
 
 def index_geometry(stats_row) -> tuple[int, int]:
@@ -615,11 +667,17 @@ def build_index(
     index_root: str,
     epoch: int = 0,
     cfg: IndexConfig = DEFAULT,
+    prior_index: str | None = None,
 ) -> BuildResult:
     """Build a full index epoch from a corpus DataFrame (doc_id, text).
 
     Writes segments/dictionary/doclen/corpus_stats (+ lineage metrics)
-    under ``index_root`` via the Iceberg-or-Parquet shim."""
+    under ``index_root`` via the Iceberg-or-Parquet shim.
+
+    ``prior_index`` (an earlier generation's root) feeds its committed
+    metrics into ``derive_n_salts`` — the incremental-epoch contract
+    (SURVEY §7.4); without it S derives from the worst-case range
+    occupancy of THIS corpus, never below ``cfg.n_salts``."""
     spark = corpus.sparkSession
     paths = IndexPaths(index_root)
     t0 = time.monotonic()
@@ -708,7 +766,12 @@ def build_index(
 
     # E7: salted two-phase assembly -> compressed blocks, written
     # partitioned by term_bucket (query-time partition pruning, Q3).
-    segments = build_segments(postings, terms_dim, avgdl, epoch, cfg)
+    # S is derived per epoch (metrics-driven; cfg.n_salts is the floor)
+    # — salt count is transient build geometry, not index geometry, so
+    # epochs with different S merge fine.
+    n_salts = derive_n_salts(n_docs, cfg, spark, prior_index)
+    cfg_run = cfg if n_salts == cfg.n_salts else replace(cfg, n_salts=n_salts)
+    segments = build_segments(postings, terms_dim, avgdl, epoch, cfg_run)
     write_table(segments, paths.segments, partition_by=["term_bucket"])
 
     # E6/E10: dictionary + stats tables, derived from the COMMITTED
@@ -868,7 +931,15 @@ def build_index_from_pages(
         paths.docmap_meta,
     )
     try:
-        return build_index(corpus.select("doc_id", "text"), index_root, epoch, cfg)
+        # A prior docmap implies a prior GENERATION: its committed
+        # metrics also drive this epoch's salt count (derive_n_salts).
+        prior_index = (
+            os.path.dirname(prior_docmap.rstrip("/")) if prior_docmap else None
+        )
+        return build_index(
+            corpus.select("doc_id", "text"), index_root, epoch, cfg,
+            prior_index=prior_index,
+        )
     finally:
         corpus.unpersist()
         prepared.unpersist()

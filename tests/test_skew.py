@@ -78,3 +78,64 @@ def test_hot_term_scores_exact_after_salted_build(spark):
         assert df == res.n_docs
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_derive_n_salts_scales_with_hot_group(spark):
+    """SURVEY §7.4's metrics-driven S: the floor holds at sandbox scale,
+    the worst-case range occupancy derives the at-scale default 64, and
+    prior-generation metrics (E6 max df + E8 stats) tighten the bound."""
+    from oculus_crawl_spark.config import IndexConfig
+    from oculus_crawl_spark.operators.build import (
+        SALT_TARGET_RUN_POSTINGS,
+        derive_n_salts,
+    )
+
+    cfg = DEFAULT
+    # Sandbox corpora never derive above the configured floor.
+    assert derive_n_salts(5_000, cfg) == cfg.n_salts
+    # First epoch at web scale: a full 2^20-doc range -> 64 salts.
+    assert derive_n_salts(10**12, cfg) == 64
+    assert (1 << cfg.range_bits) // SALT_TARGET_RUN_POSTINGS == 64
+    # S tracks the hot-group bound monotonically until the range caps it.
+    assert derive_n_salts(SALT_TARGET_RUN_POSTINGS * 8 + 1, cfg) == 9
+    # Floor and cap.
+    assert derive_n_salts(10**12, IndexConfig(n_salts=128)) == 128
+    assert derive_n_salts(10**12, IndexConfig(range_bits=40)) == 1024
+
+    # Prior-generation metrics tighten the worst case: write a synthetic
+    # prior index whose hottest term touched 1/64th of its (single)
+    # range; 2x drift headroom => S = ceil(2 * max_df / target).
+    root = tempfile.mkdtemp(prefix="ocs_salts_")
+    try:
+        from oculus_crawl_spark import schemas
+
+        spark.createDataFrame(
+            [(2_000_000, 100.0, 0, "1", cfg.n_term_buckets, cfg.range_bits)],
+            schema=schemas.CORPUS_STATS,
+        ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
+        max_df = SALT_TARGET_RUN_POSTINGS  # hottest observed term
+        spark.createDataFrame(
+            [("the", max_df * 1, max_df * 3, 1, 0)],
+            "term string, df long, cf long, n_blocks int, term_bucket int",
+        ).write.mode("overwrite").parquet(f"{root}/dictionary")
+        prior_ranges = (2_000_000 >> cfg.range_bits) + 1  # = 2
+        expect = -(-2 * (-(-max_df // prior_ranges)) // SALT_TARGET_RUN_POSTINGS)
+        got = derive_n_salts(10**12, cfg, spark, root)
+        assert got == max(cfg.n_salts, expect) == cfg.n_salts
+        # A genuinely hot prior term (full range) still derives 64 —
+        # the 2x drift headroom is capped by the physical range bound.
+        spark.createDataFrame(
+            [("the", (1 << cfg.range_bits) * prior_ranges, 0, 1, 0)],
+            "term string, df long, cf long, n_blocks int, term_bucket int",
+        ).write.mode("overwrite").parquet(f"{root}/dictionary")
+        assert derive_n_salts(10**12, cfg, spark, root) == 64
+        # Half-range-hot prior: headroom doubles the observed bound.
+        spark.createDataFrame(
+            [("the", (1 << cfg.range_bits) * prior_ranges // 4, 0, 1, 0)],
+            "term string, df long, cf long, n_blocks int, term_bucket int",
+        ).write.mode("overwrite").parquet(f"{root}/dictionary")
+        assert derive_n_salts(10**12, cfg, spark, root) == 32
+        # Unreadable prior -> worst-case bound, not a crash.
+        assert derive_n_salts(10**12, cfg, spark, f"{root}/nope") == 64
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
