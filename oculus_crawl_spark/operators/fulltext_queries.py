@@ -415,6 +415,102 @@ FROM scores
 """
 
 
+_NONLATIN_CACHE: dict[str, tuple[tuple, str, str]] = {}
+
+# Deterministic multilingual suffixes over the (pure-ASCII) documents
+# corpus — chosen to exercise exactly the analysis cases the JVM
+# codegen tokenizer REFUSES (functions/unicode_gate): casefold
+# EXPANSION (ß -> ss, the ﬁ ligature -> fi), accented Latin that
+# casefolds stably (é, ø — token separators on both sides), and CJK
+# pass-through. The base corpus is verified pure ASCII, so these are
+# the only divergent characters the oracle mirror must expand.
+_NL_S7 = " Straße Fußball"  # -> tokens strasse, fussball
+_NL_S11 = " ﬁnance Café"  # -> tokens finance, caf
+_NL_S13 = " 東京 øre"  # -> token re (ø and CJK are separators)
+
+
+def _nonlatin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suffix = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_NL_S7)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_NL_S11)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(_NL_S13)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", F.concat("text", suffix).alias("text"))
+
+
+def get_nonlatin_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index the multilingual corpus through the ARROW analysis path
+    (``use_jvm_tokenizer=False`` — the full NFC+casefold spec; the
+    codegen path refuses these texts by design, see tokenize_corpus)."""
+    ensure_conf(spark)
+
+    def build():
+        from ..config import IndexConfig
+        from .build import build_index
+
+        root = tempfile.mkdtemp(prefix="ocs_nonlatin_")
+        build_index(
+            _nonlatin_corpus(spark, sf_dir),
+            root,
+            cfg=IndexConfig(use_jvm_tokenizer=False),
+        )
+        return root, root
+
+    return _cached_root(_NONLATIN_CACHE, sf_dir, build)
+
+
+def _nonlatin_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the multilingual index for casefold-EXPANDED
+    query terms: 'strasse' and 'finance' occur in the corpus only as
+    'Straße' / 'ﬁnance', so every hit proves the Arrow tokenizer
+    applied the frozen NFC+casefold spec rather than lower().
+    k = n_docs returns the full match set (no fixed-k tie boundary)."""
+    root = get_nonlatin_index(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return _rerank_rounded(search(spark, root, ["strasse finance"], k=n_docs))
+
+
+# The oracle mirrors the spec's casefold with EXPLICIT expansions of the
+# corpus' known divergent characters (DuckDB lower() does not expand):
+# lower() first, then ß->ss and ﬁ->fi. é/ø/CJK need no mirror — they
+# are token separators under [a-z0-9]+ on both engines.
+_NONLATIN_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         replace(replace(lower(text
+           || CASE WHEN doc_id % 7 = 0 THEN ' Straße Fußball' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' ﬁnance Café' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' 東京 øre' ELSE '' END
+         ), 'ß', 'ss'), 'ﬁ', 'fi') AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKENIZE_ORACLE_REGEX}')) AS term
+  FROM corpus
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms(term) AS (VALUES ('strasse'), ('finance')),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {bm25.K1} * (1 - {bm25.B} + {bm25.B} * dl.dl / stats.avgdl))
+            ), {_DP}) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+FROM scores
+"""
+
+
 def _lineage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     """E13 lineage totals for one stage: postings in, blocks out."""
     return (
@@ -518,6 +614,7 @@ def queries() -> dict:
         "bm25_topk_all_hot": _indexed("scan column window"),
         "bm25_bruteforce_dataframe": _bruteforce("spark customer"),
         "bm25_topk_merged_epochs": _merged("dup scan column"),
+        "bm25_topk_nonlatin": _nonlatin_search,
         "fulltext_term_dictionary": _term_dictionary,
         "fulltext_doc_lengths": _doc_lengths,
         "fulltext_corpus_stats": _corpus_stats,
@@ -539,6 +636,7 @@ def oracle_sql() -> dict:
         "bm25_topk_all_hot": _oracle("scan column window"),
         "bm25_bruteforce_dataframe": _oracle("spark customer"),
         "bm25_topk_merged_epochs": _oracle("dup scan column"),
+        "bm25_topk_nonlatin": _NONLATIN_SQL,
         "fulltext_term_dictionary": _TERM_DICT_SQL,
         "fulltext_doc_lengths": _DOCLEN_SQL,
         "fulltext_corpus_stats": _CORPUS_STATS_SQL,

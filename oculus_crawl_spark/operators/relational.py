@@ -620,7 +620,12 @@ FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 # --- scalar function surface ---------------------------------------------------
 
 
-def q_string_funcs(spark, sf_dir):
+def q_string_math_funcs(spark, sf_dir):
+    """String + math scalar surface in ONE entry (folded round 5 to
+    free a grading-window slot for bm25_topk_nonlatin — same technique
+    as round 3's semi/anti fold): every function from the two previous
+    entries, exercised per-row over one table. Aggregate-of-math forms
+    remain covered by rel_agg_pricing_summary et al."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -629,14 +634,24 @@ def q_string_funcs(spark, sf_dir):
         F.substring("p_type", 1, 5).alias("type5"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("novowels"),
+        F.round(F.log1p("p_retailprice"), 6).alias("log_price"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.pow("p_size", F.lit(2)).cast("long").alias("size_sq"),
+        F.round(
+            F.greatest(F.col("p_size").cast("double"), F.col("p_retailprice")), 2
+        ).alias("greatest_v"),
     ).orderBy("p_partkey")
 
 
-SQL_STRING_FUNCS = """
+SQL_STRING_MATH_FUNCS = """
 SELECT p_partkey, lower(p_name) AS lname, length(p_name) AS name_len,
        substring(p_type, 1, 5) AS type5,
        concat_ws('|', p_brand, p_type) AS brand_type,
-       regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+       round(ln(1 + p_retailprice), 6) AS log_price,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       CAST(pow(p_size, 2) AS BIGINT) AS size_sq,
+       round(greatest(CAST(p_size AS DOUBLE), p_retailprice), 2) AS greatest_v
 FROM part ORDER BY p_partkey
 """
 
@@ -657,32 +672,6 @@ SQL_DATETIME_FUNCS = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        CAST(extract(hour FROM ts) AS INT) AS hh, count(*) AS n
 FROM events GROUP BY 1, 2 ORDER BY day, hh
-"""
-
-
-def q_math_funcs(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.sum(F.log1p("l_quantity")), 4).alias("sum_log_qty"),
-            F.round(F.avg(F.sqrt("l_extendedprice")), 4).alias("avg_sqrt_price"),
-            F.round(F.max(F.pow(F.col("l_discount"), 2)), 6).alias("max_disc_sq"),
-            F.round(
-                F.sum(F.greatest("l_tax", "l_discount")), 4
-            ).alias("sum_greatest"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-SQL_MATH_FUNCS = """
-SELECT l_returnflag,
-       round(sum(ln(1 + l_quantity)), 4) AS sum_log_qty,
-       round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt_price,
-       round(max(pow(l_discount, 2)), 6) AS max_disc_sq,
-       round(sum(greatest(l_tax, l_discount)), 4) AS sum_greatest
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
@@ -830,9 +819,8 @@ QUERIES = {
     "rel_rollup_cube": (q_rollup_cube, SQL_ROLLUP_CUBE),
     "rel_set_ops": (q_set_ops, SQL_SET_OPS),
     "rel_distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
-    "rel_string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "rel_string_math_funcs": (q_string_math_funcs, SQL_STRING_MATH_FUNCS),
     "rel_datetime_funcs": (q_datetime_funcs, SQL_DATETIME_FUNCS),
-    "rel_math_funcs": (q_math_funcs, SQL_MATH_FUNCS),
     "rel_array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "rel_json_funcs": (q_json_funcs, SQL_JSON_FUNCS),
     "rel_conditional_agg_pivot": (q_conditional_agg_pivot, SQL_CONDITIONAL_AGG_PIVOT),
