@@ -132,10 +132,16 @@ def _train_centroids(emb: DataFrame, n_cells: int) -> "np.ndarray":
     for _ in range(_KMEANS_ITERS):
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
         assign = np.argmax(Xn @ Cn.T, axis=1)
-        for j in range(n_cells):
-            m = assign == j
-            if m.any():
-                C[j] = X[m].mean(axis=0)
+        # Vectorized mean update: one scatter-add over the assignment
+        # vector + bincount normalization (the per-cell boolean-mask
+        # loop was O(n_cells x sample) per iteration — noticeable once
+        # n_cells approaches its 65536 cap). Empty cells keep their
+        # previous centroid, exactly like the mask loop did.
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=n_cells).astype(np.float64)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
     return C
 
 

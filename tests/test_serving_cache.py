@@ -1,0 +1,114 @@
+"""Serving-tier session cache under concurrency-shaped pressure.
+
+The per-process ``_SESSION_CACHE`` (operators/query.py) is a capped LRU
+of heavyweight resident sessions. A long-lived serving process touches
+many index roots and merges indexes in place, so the cache must:
+
+  * never exceed its cap, evicting the LEAST recently used root;
+  * keep a re-touched root resident across unrelated evictions;
+  * detect an in-place rebuild/merge via the corpus_stats signature and
+    reload — INCLUDING when the rebuild happens while the root is cache
+    -resident under eviction pressure;
+  * return correct results for an evicted root on re-open (a fresh
+    session, not a stale handle).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from oculus_crawl_spark.operators import query as Q
+from oculus_crawl_spark.operators.build import build_index
+
+from .conftest import SF0001
+
+
+def _mini_corpus(spark, marker: str, n: int = 30):
+    """Tiny deterministic corpus whose every doc contains ``marker``."""
+    return (
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(f" {marker}")).alias("text"),
+        )
+    )
+
+
+def _top_doc(spark, root: str, term: str) -> int:
+    rows = Q.search(spark, root, [term], k=1).collect()
+    return int(rows[0]["doc_id"]) if rows else -1
+
+
+@pytest.fixture()
+def small_cap(monkeypatch):
+    monkeypatch.setattr(Q, "SESSION_CACHE_CAP", 2)
+    Q._SESSION_CACHE.clear()
+    yield
+    Q._SESSION_CACHE.clear()
+
+
+def test_session_cache_lru_and_reopen(spark, small_cap):
+    tmp = tempfile.mkdtemp(prefix="ocs_lru_")
+    roots = {}
+    try:
+        for name in ("a", "b", "c"):
+            roots[name] = f"{tmp}/{name}"
+            build_index(_mini_corpus(spark, f"marker{name}"), roots[name])
+
+        assert _top_doc(spark, roots["a"], "markera") >= 0
+        assert _top_doc(spark, roots["b"], "markerb") >= 0
+        assert set(Q._SESSION_CACHE) == {roots["a"], roots["b"]}
+
+        # Re-touch A, then open C: B (now least recent) must be evicted.
+        assert _top_doc(spark, roots["a"], "markera") >= 0
+        sess_a = Q._SESSION_CACHE[roots["a"]][1]
+        assert _top_doc(spark, roots["c"], "markerc") >= 0
+        assert set(Q._SESSION_CACHE) == {roots["a"], roots["c"]}
+        assert len(Q._SESSION_CACHE) <= Q.SESSION_CACHE_CAP
+        # A survived because the hit re-inserted it as most recent —
+        # and it is the SAME resident session, not a rebuild.
+        assert Q._SESSION_CACHE[roots["a"]][1] is sess_a
+
+        # Evicted B re-opens fresh and still answers correctly; A is
+        # now the least recent (its hit predates C's open) and goes.
+        assert _top_doc(spark, roots["b"], "markerb") >= 0
+        assert set(Q._SESSION_CACHE) == {roots["c"], roots["b"]}
+    finally:
+        Q._SESSION_CACHE.clear()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_inplace_rebuild_detected_under_eviction_pressure(spark, small_cap):
+    tmp = tempfile.mkdtemp(prefix="ocs_stale_")
+    try:
+        root_a = f"{tmp}/a"
+        root_b = f"{tmp}/b"
+        build_index(_mini_corpus(spark, "alpha"), root_a)
+        build_index(_mini_corpus(spark, "markerb"), root_b)
+        assert len(Q.search(spark, root_a, ["alpha"], k=50).collect()) == 30
+        assert _top_doc(spark, root_b, "markerb") >= 0  # cache at cap
+
+        # In-place regeneration of A while its session is resident:
+        # new corpus, same root. mtime granularity can be coarse, so
+        # nudge the clock the signature reads.
+        time.sleep(0.05)
+        shutil.rmtree(root_a)
+        build_index(_mini_corpus(spark, "omega", n=20), root_a)
+        for entry in os.scandir(os.path.join(root_a, "corpus_stats")):
+            os.utime(entry.path)
+
+        # The stale resident session must NOT serve: 'alpha' is gone
+        # from the new corpus, 'omega' matches all 20 docs.
+        assert len(Q.search(spark, root_a, ["alpha"], k=50).collect()) == 0
+        assert len(Q.search(spark, root_a, ["omega"], k=50).collect()) == 20
+        assert len(Q._SESSION_CACHE) <= Q.SESSION_CACHE_CAP
+    finally:
+        Q._SESSION_CACHE.clear()
+        shutil.rmtree(tmp, ignore_errors=True)
