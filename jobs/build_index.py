@@ -42,6 +42,13 @@ def main() -> None:
         "urls keep their doc_id, new urls get dense ids past its max "
         "(incremental crawl -> re-crawl -> merge flow)",
     )
+    ap.add_argument(
+        "--prior-index",
+        help="(--documents path only) an earlier generation's index "
+        "root: its committed dictionary/stats tighten the derived salt "
+        "count to the hottest observed per-range df. The --pages path "
+        "derives this from --prior-docmap automatically.",
+    )
     args = ap.parse_args()
 
     from oculus_crawl_spark.operators.build import (
@@ -62,7 +69,10 @@ def main() -> None:
         )
     else:
         docs = spark.read.parquet(args.documents).select("doc_id", "text")
-        result = build_index(docs, args.index_root, epoch=args.epoch)
+        result = build_index(
+            docs, args.index_root, epoch=args.epoch,
+            prior_index=args.prior_index,
+        )
     print(
         json.dumps(
             {
