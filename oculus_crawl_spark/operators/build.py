@@ -106,6 +106,56 @@ class IndexPaths:
 SALT_TARGET_RUN_POSTINGS = 1 << 14
 
 
+def _prior_hot_group_df(
+    spark: SparkSession, prior_index: str, new_range_bits: int
+) -> int | None:
+    """Hottest OBSERVED per-(term, range_bucket) df of a prior
+    generation, rescaled to the new build's range geometry — or None
+    when the prior is missing, unreadable, row-less (a crashed prior
+    finalize can commit parquet files without rows), empty, or predates
+    self-describing geometry. The prior is an optional HINT: every
+    failure mode degrades to the worst-case bound; it never fails a
+    build.
+
+    Source of truth is the committed segment METADATA (block n_docs
+    summed per (term, range_bucket) — the durable form of the E13
+    accounting), NOT dictionary df divided by range count: a mean hides
+    range-concentrated hot terms (a language-local stop word fills its
+    16 contiguous ranges and no others), and S exists to bound the
+    worst GROUP, not the average one. The scan is column-pruned to 3
+    narrow metadata columns with partial aggregation before the one
+    shuffle — cost proportional to block count, once per build.
+    Tombstoned postings of merged priors stay counted; an overestimate
+    only ever raises S (the safe direction)."""
+    from pyspark.errors import AnalysisException
+
+    p = IndexPaths(prior_index)
+    try:
+        rows = spark.read.parquet(p.corpus_stats).collect()
+        if not rows:
+            return None
+        try:
+            _, prior_bits = index_geometry(rows[0])
+        except ValueError:
+            return None  # pre-geometry prior: unusable as a hint
+        m = (
+            spark.read.parquet(p.segments)
+            .groupBy("term", "range_bucket")
+            .agg(F.sum("n_docs").alias("g"))
+            .agg(F.max("g").alias("m"))
+            .collect()[0]["m"]
+        )
+    except AnalysisException:
+        return None
+    if m is None:
+        return None
+    # Coarser new ranges (range_bits grew by d) hold up to 2^d prior
+    # ranges each, so the observation scales by 2^d; a finer new
+    # geometry only shrinks groups, leaving the prior max a valid
+    # upper bound as-is.
+    return int(m) << max(0, new_range_bits - prior_bits)
+
+
 def derive_n_salts(
     n_docs: int,
     cfg: IndexConfig,
@@ -118,10 +168,10 @@ def derive_n_salts(
     S's one job is bounding the postings a single (term, range_bucket,
     salt) run can hold. The worst group is a term present in every doc
     of its range: min(n_docs, 2^range_bits) postings. First epoch that
-    worst case IS the bound; with a prior generation's metrics (E6
-    dictionary max df + E8 corpus stats — the committed form of the
-    E13 accounting) it tightens to the hottest OBSERVED per-range df,
-    with 2x headroom for corpus drift between epochs.
+    worst case IS the bound; with a prior generation's committed
+    segment metadata it tightens to the hottest OBSERVED per-range df
+    (``_prior_hot_group_df``), with 2x headroom for corpus drift
+    between epochs.
 
     ``cfg.n_salts`` is the FLOOR (sandbox default 8 — small corpora
     never derive above it, keeping local runs deterministic); the 1024
@@ -131,21 +181,8 @@ def derive_n_salts(
     the run-size bound add per-run overhead without new parallelism."""
     hot = min(int(n_docs), 1 << cfg.range_bits)
     if prior_index is not None and spark is not None:
-        from pyspark.errors import AnalysisException
-
-        p = IndexPaths(prior_index)
-        try:
-            stats = spark.read.parquet(p.corpus_stats).collect()[0]
-            row = (
-                spark.read.parquet(p.dictionary)
-                .agg(F.max("df").alias("m"))
-                .collect()[0]
-            )
-        except AnalysisException:
-            stats = row = None  # unreadable prior -> keep worst-case bound
-        if stats is not None and row is not None and row["m"] is not None:
-            prior_ranges = (int(stats["n_docs"]) >> index_geometry(stats)[1]) + 1
-            observed = -(-int(row["m"]) // prior_ranges)  # ceil df/range
+        observed = _prior_hot_group_df(spark, prior_index, cfg.range_bits)
+        if observed is not None:
             hot = min(hot, 2 * observed)
     need = -(-hot // SALT_TARGET_RUN_POSTINGS)
     return int(min(1024, max(cfg.n_salts, need)))

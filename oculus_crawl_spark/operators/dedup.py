@@ -411,14 +411,33 @@ def _verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     nb = np.fromiter(map(len, b_sets), dtype=np.int64, count=n)
     jac = np.zeros(n, dtype=np.float64)
     if na.sum() + nb.sum() > 0:
-        pids = np.concatenate(
-            [np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)]
-        )
-        vals = np.concatenate(a_sets + b_sets)
-        order = np.lexsort((vals, pids))
-        pv, vv = pids[order], vals[order]
-        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
-        inter = np.bincount(pv[1:][dup], minlength=n)
+        # Chunk the fused pass to a fixed element budget: the flattened
+        # pair fanout of one Arrow batch is unbounded (200k pairs x 2k
+        # distinct shingles x 2 sides = 6+ GB as one vals array), so the
+        # scratch arrays are capped at ~16M int64 elements per chunk
+        # (~0.4 GB peak incl. lexsort's index array) — still one
+        # vectorized pass per chunk, never per pair. pair-ids are int32
+        # (a chunk can't exceed 2^31 rows by construction).
+        cum = np.cumsum(na + nb)
+        budget = 1 << 24
+        inter = np.zeros(n, dtype=np.int64)
+        start = 0
+        while start < n:
+            prev = cum[start - 1] if start else 0
+            end = int(np.searchsorted(cum, prev + budget, side="right"))
+            end = min(n, max(end, start + 1))  # always take >= 1 pair
+            m = end - start
+            rng = np.arange(m, dtype=np.int32)
+            pids = np.concatenate(
+                [np.repeat(rng, na[start:end]), np.repeat(rng, nb[start:end])]
+            )
+            vals = np.concatenate(a_sets[start:end] + b_sets[start:end])
+            order = np.lexsort((vals, pids))
+            pv, vv = pids[order], vals[order]
+            del order
+            dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+            inter[start:end] = np.bincount(pv[1:][dup], minlength=m)
+            start = end
         denom = na + nb - inter
         nz = denom > 0
         jac[nz] = inter[nz] / denom[nz]
@@ -441,7 +460,13 @@ def minhash_near_dup_pairs(
     (each doc is shingle-hashed exactly once, in the projection below).
     Output shape == ngram_jaccard_pairs (the SQL oracle grades recall)."""
     cand = minhash_candidate_pairs(docs)
-    hsets = docs.select("doc_id", shingle_set_udf("text").alias("h"))
+    # Persisted so the a_id- and b_id-side join branches share ONE
+    # scan+hash pass instead of each replanning the UDF over docs
+    # (different join keys defeat exchange reuse). No explicit
+    # unpersist: the frame is private to this plan, and Spark's
+    # ContextCleaner unpersists it once the returned DataFrame is
+    # garbage-collected on the driver.
+    hsets = docs.select("doc_id", shingle_set_udf("text").alias("h")).persist()
     joined = (
         cand.join(
             hsets.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h")),

@@ -30,19 +30,11 @@ _INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def _docs_signature(sf_dir: str) -> tuple:
-    """Content staleness token for the documents table (names + mtimes)."""
-    import os
+    """Content staleness token for the documents table — the shared
+    sources.tables.table_signature, which all index caches key on."""
+    from oculus_crawl_spark.sources.tables import table_signature
 
-    try:
-        with os.scandir(f"{sf_dir}/documents.parquet") as it:
-            return tuple(
-                sorted((e.name, e.stat().st_mtime_ns) for e in it if e.is_file())
-            )
-    except NotADirectoryError:
-        st = os.stat(f"{sf_dir}/documents.parquet")
-        return (st.st_size, st.st_mtime_ns)
-    except OSError:
-        return ()
+    return table_signature(sf_dir, "documents")
 
 
 def _cached_root(cache, sf_dir: str, builder) -> str:
@@ -479,9 +471,9 @@ _NONLATIN_SQL = f"""
 WITH corpus AS (
   SELECT doc_id,
          replace(replace(lower(text
-           || CASE WHEN doc_id % 7 = 0 THEN ' Straße Fußball' ELSE '' END
-           || CASE WHEN doc_id % 11 = 0 THEN ' ﬁnance Café' ELSE '' END
-           || CASE WHEN doc_id % 13 = 0 THEN ' 東京 øre' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN '{_NL_S7}' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN '{_NL_S11}' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN '{_NL_S13}' ELSE '' END
          ), 'ß', 'ss'), 'ﬁ', 'fi') AS text
   FROM documents
 ),

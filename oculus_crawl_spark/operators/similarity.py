@@ -512,21 +512,11 @@ _IVF_CACHE: dict[str, tuple[tuple, str]] = {}
 
 
 def _emb_signature(sf_dir: str) -> tuple:
-    """Content staleness token for the embeddings table (file names +
-    mtimes) — a cache keyed on the sf_dir STRING alone serves a stale
-    index after the table is rewritten in place."""
-    import os
+    """Content staleness token for the embeddings table — the shared
+    sources.tables.table_signature, which all index caches key on."""
+    from oculus_crawl_spark.sources.tables import table_signature
 
-    try:
-        with os.scandir(f"{sf_dir}/embeddings.parquet") as it:
-            return tuple(
-                sorted((e.name, e.stat().st_mtime_ns) for e in it if e.is_file())
-            )
-    except NotADirectoryError:
-        st = os.stat(f"{sf_dir}/embeddings.parquet")
-        return (st.st_size, st.st_mtime_ns)
-    except OSError:
-        return ()
+    return table_signature(sf_dir, "embeddings")
 
 
 def q_ann_ivf(spark, sf_dir):

@@ -36,6 +36,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def table_signature(sf_dir: str, name: str) -> tuple:
+    """Content staleness token for one testdata table (file names +
+    mtimes): the single source of truth for every derived-index cache
+    keyed on an sf_dir — a cache keyed on the directory STRING alone
+    serves a stale index (and leaks its temp root) after the table is
+    rewritten in place. Shared by the fulltext and IVF caches so a fix
+    to the token logic lands everywhere at once."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        with os.scandir(path) as it:
+            return tuple(
+                sorted((e.name, e.stat().st_mtime_ns) for e in it if e.is_file())
+            )
+    except NotADirectoryError:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

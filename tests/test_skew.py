@@ -102,40 +102,65 @@ def test_derive_n_salts_scales_with_hot_group(spark):
     assert derive_n_salts(10**12, IndexConfig(n_salts=128)) == 128
     assert derive_n_salts(10**12, IndexConfig(range_bits=40)) == 1024
 
-    # Prior-generation metrics tighten the worst case: write a synthetic
-    # prior index whose hottest term touched 1/64th of its (single)
-    # range; 2x drift headroom => S = ceil(2 * max_df / target).
+    # Prior-generation metrics tighten the worst case. The hint is the
+    # hottest per-(term, range_bucket) GROUP in the committed segment
+    # metadata — not dictionary df / range count, which is a mean and
+    # hides range-concentrated hot terms.
     root = tempfile.mkdtemp(prefix="ocs_salts_")
     try:
         from oculus_crawl_spark import schemas
+        from oculus_crawl_spark.config import IndexConfig
 
-        spark.createDataFrame(
-            [(2_000_000, 100.0, 0, "1", cfg.n_term_buckets, cfg.range_bits)],
-            schema=schemas.CORPUS_STATS,
-        ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
-        max_df = SALT_TARGET_RUN_POSTINGS  # hottest observed term
-        spark.createDataFrame(
-            [("the", max_df * 1, max_df * 3, 1, 0)],
-            "term string, df long, cf long, n_blocks int, term_bucket int",
-        ).write.mode("overwrite").parquet(f"{root}/dictionary")
-        prior_ranges = (2_000_000 >> cfg.range_bits) + 1  # = 2
-        expect = -(-2 * (-(-max_df // prior_ranges)) // SALT_TARGET_RUN_POSTINGS)
-        got = derive_n_salts(10**12, cfg, spark, root)
-        assert got == max(cfg.n_salts, expect) == cfg.n_salts
-        # A genuinely hot prior term (full range) still derives 64 —
-        # the 2x drift headroom is capped by the physical range bound.
-        spark.createDataFrame(
-            [("the", (1 << cfg.range_bits) * prior_ranges, 0, 1, 0)],
-            "term string, df long, cf long, n_blocks int, term_bucket int",
-        ).write.mode("overwrite").parquet(f"{root}/dictionary")
-        assert derive_n_salts(10**12, cfg, spark, root) == 64
-        # Half-range-hot prior: headroom doubles the observed bound.
-        spark.createDataFrame(
-            [("the", (1 << cfg.range_bits) * prior_ranges // 4, 0, 1, 0)],
-            "term string, df long, cf long, n_blocks int, term_bucket int",
-        ).write.mode("overwrite").parquet(f"{root}/dictionary")
+        def write_prior(spec, range_bits=cfg.range_bits):
+            """spec: [(term, range_bucket, [n_docs per block, ...])]."""
+            spark.createDataFrame(
+                [(2_000_000, 100.0, 0, "1", cfg.n_term_buckets, range_bits)],
+                schema=schemas.CORPUS_STATS,
+            ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
+            rows = [
+                (term, 0, rb, i, 0, 0, nd, 0, 0.0, b"", b"", b"", 0)
+                for term, rb, blocks in spec
+                for i, nd in enumerate(blocks)
+            ]
+            spark.createDataFrame(
+                rows, schema=schemas.SEGMENTS
+            ).write.mode("overwrite").parquet(f"{root}/segments")
+
+        T = SALT_TARGET_RUN_POSTINGS
+        # Hottest observed group = one target run (split across two
+        # blocks — the per-group SUM must see both): 2x headroom ->
+        # need 2, floored at cfg.
+        write_prior([("the", 0, [T // 2, T // 2]), ("a", 1, [10])])
+        assert derive_n_salts(10**12, cfg, spark, root) == cfg.n_salts
+        # Range-CONCENTRATED hot term: 16T postings all in range 0 (a
+        # mean over the 2 ranges would see 8T and derive 16); the max
+        # group drives S = ceil(2 * 16T / T) = 32.
+        write_prior([("der", 0, [T * 16]), ("der", 1, [1])])
         assert derive_n_salts(10**12, cfg, spark, root) == 32
+        # A genuinely full prior range still derives 64 — the 2x drift
+        # headroom is capped by the physical range bound.
+        write_prior([("the", 0, [1 << cfg.range_bits])])
+        assert derive_n_salts(10**12, cfg, spark, root) == 64
+        # Coarser NEW geometry (range_bits + 2): each new range holds up
+        # to 4 prior ranges, so the observation rescales x4 before the
+        # headroom: 2 * (4 * 2T) / T = 16.
+        write_prior([("the", 0, [T * 2])])
+        wide = IndexConfig(range_bits=cfg.range_bits + 2)
+        assert derive_n_salts(10**12, wide, spark, root) == 16
         # Unreadable prior -> worst-case bound, not a crash.
         assert derive_n_salts(10**12, cfg, spark, f"{root}/nope") == 64
+        # Readable-but-ROW-LESS stats (a crashed prior finalize commits
+        # parquet files without rows) -> worst case, not IndexError.
+        spark.createDataFrame(
+            [], schema=schemas.CORPUS_STATS
+        ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
+        assert derive_n_salts(10**12, cfg, spark, root) == 64
+        # Pre-geometry prior (no n_term_buckets/range_bits): the hint is
+        # unusable but an incremental BUILD must not hard-fail on it.
+        spark.createDataFrame(
+            [(2_000_000, 100.0, 0, "1")],
+            "n_docs long, avgdl double, epoch long, analysis_version string",
+        ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
+        assert derive_n_salts(10**12, cfg, spark, root) == 64
     finally:
         shutil.rmtree(root, ignore_errors=True)
