@@ -343,6 +343,11 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 _VERIFY_SCHEMA = "a_id long, b_id long, jaccard double"
 
+# Element budget for one fused-verify chunk (~0.4 GB scratch peak incl.
+# lexsort's index array). Module-level so tests can shrink it to pin
+# chunk-boundary equivalence without 16M-element fixtures.
+_VERIFY_CHUNK_ELEMS = 1 << 24
+
 
 def _unique_shingle_sets(
     text: pd.Series,
@@ -419,7 +424,7 @@ def _verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         # vectorized pass per chunk, never per pair. pair-ids are int32
         # (a chunk can't exceed 2^31 rows by construction).
         cum = np.cumsum(na + nb)
-        budget = 1 << 24
+        budget = _VERIFY_CHUNK_ELEMS
         inter = np.zeros(n, dtype=np.int64)
         start = 0
         while start < n:

@@ -253,6 +253,36 @@ def test_batched_verify_matches_perpair_string_jaccard():
     assert list(empty.columns) == ["a_id", "b_id", "jaccard"] and len(empty) == 0
 
 
+def test_verify_chunking_is_invisible(monkeypatch):
+    """The fused kernel's element-budget chunking (memory bound for
+    unbounded Arrow-batch pair fanout) must not change any output: run
+    the same batch single-pass and with budgets that force every
+    boundary shape — mid-batch splits, one-pair chunks, and a budget
+    smaller than a single pair's fanout (which must still take the
+    pair whole rather than stall)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(0, 60, size=24)
+    ]
+    hsets = dedup._shingle_set_batch(pd.Series(texts))
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 24, size=(60, 2))]
+    pdf = pd.DataFrame(
+        {
+            "a_id": [a for a, _ in pairs],
+            "b_id": [b for _, b in pairs],
+            "a_h": [hsets[a] for a, _ in pairs],
+            "b_h": [hsets[b] for _, b in pairs],
+        }
+    )
+    baseline = dedup._verify_pairs(pdf)
+    for budget in (1, 7, 64, 1000):
+        monkeypatch.setattr(dedup, "_VERIFY_CHUNK_ELEMS", budget)
+        got = dedup._verify_pairs(pdf)
+        pd.testing.assert_frame_equal(got, baseline)
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """ANN recall@5 at nprobe=3 of 10 cells (~30% scan). This corpus'
     embeddings are near-random 64-d vectors (weak neighbor structure),
