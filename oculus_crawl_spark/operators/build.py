@@ -127,11 +127,9 @@ def _prior_hot_group_df(
     shuffle — cost proportional to block count, once per build.
     Tombstoned postings of merged priors stay counted; an overestimate
     only ever raises S (the safe direction)."""
-    from pyspark.errors import AnalysisException
-
     p = IndexPaths(prior_index)
     try:
-        rows = spark.read.parquet(p.corpus_stats).collect()
+        rows = read_engine_table(spark, p.corpus_stats).collect()
         if not rows:
             return None
         try:
@@ -139,13 +137,18 @@ def _prior_hot_group_df(
         except ValueError:
             return None  # pre-geometry prior: unusable as a hint
         m = (
-            spark.read.parquet(p.segments)
+            read_engine_table(spark, p.segments)
             .groupBy("term", "range_bucket")
             .agg(F.sum("n_docs").alias("g"))
             .agg(F.max("g").alias("m"))
             .collect()[0]["m"]
         )
-    except AnalysisException:
+    except Exception:
+        # Deliberately broad: a missing prior raises AnalysisException,
+        # but a TRUNCATED/corrupt committed file (killed writer,
+        # partial copy) surfaces as Py4JJavaError at collect() — and
+        # the contract is that NO prior state, however mangled, can
+        # fail a build that would succeed without the hint.
         return None
     if m is None:
         return None

@@ -45,6 +45,7 @@ NumPy Generator.
 from __future__ import annotations
 
 import re
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -467,10 +468,16 @@ def minhash_near_dup_pairs(
     cand = minhash_candidate_pairs(docs)
     # Persisted so the a_id- and b_id-side join branches share ONE
     # scan+hash pass instead of each replanning the UDF over docs
-    # (different join keys defeat exchange reuse). No explicit
-    # unpersist: the frame is private to this plan, and Spark's
-    # ContextCleaner unpersists it once the returned DataFrame is
-    # garbage-collected on the driver.
+    # (different join keys defeat exchange reuse; measured 1.7x
+    # end-to-end at 273k-pair fanout, BENCH.md). Spark's CacheManager
+    # holds cached plans by strong reference until an explicit
+    # unpersist — the ContextCleaner does NOT collect DataFrame cache
+    # entries — so a finalizer on the returned frame releases the
+    # corpus-sized blob cache when the caller drops its result instead
+    # of pinning executor storage for the session's lifetime. (If a
+    # caller keeps a DERIVED frame but drops this one, later actions
+    # just recompute — persist is a hint, never a correctness
+    # dependency.)
     hsets = docs.select("doc_id", shingle_set_udf("text").alias("h")).persist()
     joined = (
         cand.join(
@@ -485,9 +492,18 @@ def minhash_near_dup_pairs(
     verified = joined.mapInPandas(
         lambda it: (_verify_pairs(pdf) for pdf in it), _VERIFY_SCHEMA
     )
-    return verified.filter(F.col("jaccard") >= threshold).select(
+    out = verified.filter(F.col("jaccard") >= threshold).select(
         "a_id", "b_id", "jaccard"
     )
+
+    def _release(frame=hsets):
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+    weakref.finalize(out, _release)
+    return out
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -18,23 +18,17 @@ from pyspark.sql import functions as F
 
 from ..functions import bm25
 from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize
+from ..sources.tables import table_signature
 from .build import build_index_from_documents
 from .query import search, search_bruteforce
 
 # Every built-index cache below is keyed by (process, sf_dir, CONTENT):
 # the value is (documents-table signature, servable root, owned dir).
-# Same staleness pattern as similarity._emb_signature — a cache keyed on
+# Same staleness pattern as the IVF cache — a cache keyed on
 # the sf_dir string alone would serve a stale index (and leak its
-# mkdtemp root) after an in-place rewrite of the fixture table.
+# mkdtemp root) after an in-place rewrite of the fixture table; the
+# token logic is the shared sources.tables.table_signature.
 _INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
-
-
-def _docs_signature(sf_dir: str) -> tuple:
-    """Content staleness token for the documents table — the shared
-    sources.tables.table_signature, which all index caches key on."""
-    from oculus_crawl_spark.sources.tables import table_signature
-
-    return table_signature(sf_dir, "documents")
 
 
 def _cached_root(cache, sf_dir: str, builder) -> str:
@@ -42,7 +36,7 @@ def _cached_root(cache, sf_dir: str, builder) -> str:
     removed when the table content changes under the same sf_dir."""
     import shutil
 
-    sig = _docs_signature(sf_dir)
+    sig = table_signature(sf_dir, "documents")
     hit = cache.get(sf_dir)
     if hit is not None and hit[0] == sig:
         return hit[1]

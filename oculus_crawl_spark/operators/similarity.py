@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import read_table
+from ..sources.tables import read_table, table_signature
 
 K = 5
 N_PROBE_IDS = 10  # probes = vec_id < 10
@@ -511,14 +511,6 @@ ORDER BY q_id, rank
 _IVF_CACHE: dict[str, tuple[tuple, str]] = {}
 
 
-def _emb_signature(sf_dir: str) -> tuple:
-    """Content staleness token for the embeddings table — the shared
-    sources.tables.table_signature, which all index caches key on."""
-    from oculus_crawl_spark.sources.tables import table_signature
-
-    return table_signature(sf_dir, "embeddings")
-
-
 def q_ann_ivf(spark, sf_dir):
     """Driver entry runs the REAL architecture: write the cell-
     partitioned index once per (process, sf_dir, table content), probe
@@ -527,7 +519,7 @@ def q_ann_ivf(spark, sf_dir):
     import tempfile
 
     emb = _emb(spark, sf_dir)
-    sig = _emb_signature(sf_dir)
+    sig = table_signature(sf_dir, "embeddings")
     hit = _IVF_CACHE.get(sf_dir)
     if hit is None or hit[0] != sig:
         if hit is not None:

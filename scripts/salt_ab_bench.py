@@ -100,8 +100,15 @@ def run_one(cores: int, rep: int, arm: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", _RUN_ONE.format(repo=_REPO),
          str(cores), str(rep), arm],
-        capture_output=True, text=True, check=True, cwd=_REPO, env=env,
+        capture_output=True, text=True, cwd=_REPO, env=env,
     )
+    if out.returncode != 0:
+        # Surface the child's Spark stderr — a bare CalledProcessError
+        # hides the only diagnostic there is.
+        sys.stderr.write(out.stderr)
+        raise subprocess.CalledProcessError(
+            out.returncode, out.args, out.stdout, out.stderr
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

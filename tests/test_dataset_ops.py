@@ -283,6 +283,30 @@ def test_verify_chunking_is_invisible(monkeypatch):
         pd.testing.assert_frame_equal(got, baseline)
 
 
+def test_minhash_verify_cache_released_on_drop(spark):
+    """The persisted hash-set frame must be unpersisted when the caller
+    drops the result: Spark's CacheManager holds cached plans by strong
+    reference (the ContextCleaner never collects DataFrame cache
+    entries), so without the finalizer every minhash_near_dup_pairs
+    call would pin a corpus-sized blob cache until session end."""
+    import gc
+
+    docs = (
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    jsc = spark.sparkContext._jsc
+    gc.collect()
+    base = jsc.getPersistentRDDs().size()
+    out = dedup.minhash_near_dup_pairs(docs)
+    out.count()  # materializes (and caches) the hash-set frame
+    assert jsc.getPersistentRDDs().size() > base
+    del out
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """ANN recall@5 at nprobe=3 of 10 cells (~30% scan). This corpus'
     embeddings are near-random 64-d vectors (weak neighbor structure),

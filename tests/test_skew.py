@@ -83,7 +83,8 @@ def test_hot_term_scores_exact_after_salted_build(spark):
 def test_derive_n_salts_scales_with_hot_group(spark):
     """SURVEY §7.4's metrics-driven S: the floor holds at sandbox scale,
     the worst-case range occupancy derives the at-scale default 64, and
-    prior-generation metrics (E6 max df + E8 stats) tighten the bound."""
+    the hottest per-(term, range_bucket) group observed in a prior
+    generation's segment metadata tightens the bound."""
     from oculus_crawl_spark.config import IndexConfig
     from oculus_crawl_spark.operators.build import (
         SALT_TARGET_RUN_POSTINGS,
@@ -161,6 +162,22 @@ def test_derive_n_salts_scales_with_hot_group(spark):
             [(2_000_000, 100.0, 0, "1")],
             "n_docs long, avgdl double, epoch long, analysis_version string",
         ).write.mode("overwrite").parquet(f"{root}/corpus_stats")
+        assert derive_n_salts(10**12, cfg, spark, root) == 64
+        # MANGLED prior (garbage bytes where a segments part-file should
+        # be — a killed writer / partial copy): still the worst case,
+        # never a crashed build, whatever exception class the read
+        # surfaces (AnalysisException at inference or Py4JJavaError at
+        # collect, depending on which file is damaged).
+        import os
+
+        write_prior([("the", 0, [T])])
+        part = next(
+            f
+            for f in os.listdir(f"{root}/segments")
+            if f.endswith(".parquet")
+        )
+        with open(f"{root}/segments/{part}", "wb") as fh:
+            fh.write(b"this is not a parquet file")
         assert derive_n_salts(10**12, cfg, spark, root) == 64
     finally:
         shutil.rmtree(root, ignore_errors=True)
