@@ -45,9 +45,10 @@ def main() -> None:
     ap.add_argument(
         "--prior-index",
         help="(--documents path only) an earlier generation's index "
-        "root: its committed dictionary/stats tighten the derived salt "
-        "count to the hottest observed per-range df. The --pages path "
-        "derives this from --prior-docmap automatically.",
+        "root: its committed segment metadata tightens the derived "
+        "salt count to the hottest observed per-(term, range) group. "
+        "The --pages path derives this from --prior-docmap "
+        "automatically.",
     )
     args = ap.parse_args()
 
