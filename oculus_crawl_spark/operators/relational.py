@@ -677,10 +677,13 @@ FROM events GROUP BY 1, 2 ORDER BY day, hh
 
 def q_array_funcs(spark, sf_dir):
     """Array surface over tokenized documents — scalar outputs only (the
-    engine's E3/E4 path exercised as plain SQL)."""
+    engine's E3/E4 path exercised as plain SQL). Tokenization is the
+    shared frozen tokenize_expr, never an inline fork (analysis.py
+    mandates one analyzer; a spec bump must reach this entry too)."""
+    from ..functions.analysis import tokenize_expr
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), "[^a-z0-9]+")
-    toks = F.filter(toks, lambda t: t != F.lit(""))
+    toks = tokenize_expr(F.col("text"))
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -744,11 +747,23 @@ def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity gap) — the batch
     equivalent of a streaming session window: lag -> new-session flag ->
     running sum = session id, then per-session aggregates. One window
-    shuffle on user_id; at scale this is the standard sessionize shape."""
-    e = _t(spark, sf_dir, "events")
+    shuffle on user_id; at scale this is the standard sessionize shape.
+
+    The gap is integer MICROSECONDS on both sides (unix_micros vs
+    DuckDB epoch_us): unix_timestamp truncates to whole seconds while
+    epoch() keeps the fraction, so a true gap of 1800.05 s would break
+    the session in the oracle but not here — the same seconds-
+    truncation divergence class q_window_frames' RANGE key hit at
+    sf0.1 (one boundary event in 100k rows)."""
+    # ts is TIMESTAMP_NTZ; the cast reads it in the session tz, which
+    # ensure_conf pins to UTC — matching DuckDB's epoch_us on naive ts
+    # (same conversion as q_window_frames' RANGE key).
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    gap = F.col("ts_us") - F.lag("ts_us", 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = (
         e.withColumn("new_sess", new_sess)
         .withColumn(
@@ -771,7 +786,7 @@ SQL_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
