@@ -51,6 +51,15 @@ def main() -> None:
         "automatically.",
     )
     args = ap.parse_args()
+    if args.pages and args.prior_index:
+        # argparse would accept the combination and the pages branch
+        # would silently drop the hint (worst-case salt count with no
+        # warning) — refuse instead of surprising the operator.
+        ap.error(
+            "--prior-index applies to --documents builds only; the "
+            "--pages path derives the salt hint from --prior-docmap's "
+            "index automatically"
+        )
 
     from oculus_crawl_spark.operators.build import (
         build_index,

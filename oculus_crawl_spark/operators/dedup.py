@@ -503,6 +503,14 @@ def minhash_near_dup_pairs(
             pass  # session already stopped
 
     weakref.finalize(out, _release)
+    # LIFETIME CONTRACT: the release finalizer lives on THIS frame. A
+    # caller that keeps only a DERIVED frame (pyspark's DataFrame ops
+    # return JVM-plan wrappers with no Python ref to the parent) drops
+    # `out` immediately, the finalizer fires BEFORE any action, and the
+    # persist silently degrades to per-branch recompute of the
+    # shingle-hash scan (the 1.7x tax this cache removes — still
+    # correct, just slow). Derivers must pin `out` for the life of the
+    # derived frame, as q_dedup_minhash_lsh does.
     return out
 
 
@@ -638,7 +646,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_near_dup_pairs(docs).orderBy("a_id", "b_id")
+    pairs = minhash_near_dup_pairs(docs)
+    out = pairs.orderBy("a_id", "b_id")
+    # Pin the parent: its finalizer releases the shared hash-set cache,
+    # and .orderBy returns a frame with no Python ref to `pairs` — an
+    # unpinned parent is collected HERE and the persist dies before the
+    # driver ever collects (see the lifetime contract in
+    # minhash_near_dup_pairs).
+    out._minhash_pairs_keepalive = pairs
+    return out
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -348,9 +348,15 @@ def merge_indexes(
         try:
             # A crash can leave a readable-but-EMPTY marker directory
             # (the parquet files committed, the rows not): zero rows is
-            # "no marker", not an IndexError.
+            # "no marker", not an IndexError. Deliberately broad except,
+            # same rationale as build._prior_hot_group_df: a TRUNCATED
+            # marker part-file (killed writer) surfaces as Py4JJavaError
+            # at collect(), not AnalysisException — and a marker whose
+            # own write never committed proves nothing about the
+            # manifest, so it degrades to "no marker" rather than
+            # bricking the resume path it exists to protect.
             rows = spark.read.parquet(marker_path).collect()
-        except AnalysisException:
+        except Exception:
             rows = []
         prev = rows[0]["inputs_sig"] if rows else None
         if prev is not None and prev != inputs_sig:

@@ -307,6 +307,28 @@ def test_minhash_verify_cache_released_on_drop(spark):
     assert jsc.getPersistentRDDs().size() == base
 
 
+def test_minhash_graded_entry_keeps_cache_alive_through_action(spark):
+    """q_dedup_minhash_lsh derives .orderBy() from the operator's
+    result; pyspark derivations hold no Python ref to the parent, so
+    without the keepalive pin the release finalizer fires BEFORE the
+    action and the persist silently degrades to per-join-branch
+    recompute (the exact regression the cache was added to fix)."""
+    import gc
+
+    from oculus_crawl_spark.operators.dedup import q_dedup_minhash_lsh
+
+    jsc = spark.sparkContext._jsc
+    gc.collect()
+    base = jsc.getPersistentRDDs().size()
+    out = q_dedup_minhash_lsh(spark, SF0001)
+    gc.collect()  # the parent frame must survive this
+    out.count()
+    assert jsc.getPersistentRDDs().size() > base  # cache was live at action
+    del out
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() == base  # and released on drop
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """ANN recall@5 at nprobe=3 of 10 cells (~30% scan). This corpus'
     embeddings are near-random 64-d vectors (weak neighbor structure),

@@ -46,6 +46,27 @@ def test_job_cli_rejects_missing_args():
     assert out.returncode != 0
 
 
+def test_build_index_cli_rejects_pages_with_prior_index():
+    """--prior-index is a --documents-only hint (the pages path derives
+    it from --prior-docmap); the combination used to be silently
+    accepted and silently dropped."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            "jobs/build_index.py",
+            "--pages", "/nonexistent/pages",
+            "--index-root", "/nonexistent/root",
+            "--prior-index", "/nonexistent/prior",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert out.returncode != 0
+    assert "--documents builds only" in out.stderr
+
+
 def test_approx_distinct_within_bound(spark):
     row = q_approx_distinct(spark, SF0001).collect()[0]
     li = spark.read.parquet(f"{SF0001}/lineitem.parquet")

@@ -319,3 +319,31 @@ def test_merge_resume_rejects_changed_inputs(spark):
         assert res.buckets_merged == 0 and res.buckets_skipped > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_resume_absorbs_torn_marker(spark):
+    """A killed writer can leave a TRUNCATED parquet part-file under the
+    merge_inputs marker; reading it raises Py4JJavaError (not
+    AnalysisException), and the crash-recovery path must treat a marker
+    whose own write never committed as 'no marker' — not brick resume
+    on the exact failure class it exists for."""
+    import pathlib
+
+    tmp = tempfile.mkdtemp(prefix="ocs_torn_marker_")
+    try:
+        docs = _docs(spark).filter(F.col("doc_id") < 30)
+        build_index(docs.filter("doc_id % 2 = 0"), f"{tmp}/e0", epoch=0)
+        build_index(docs.filter("doc_id % 2 = 1"), f"{tmp}/e1", epoch=1)
+        merge_indexes(spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m")
+        parts = list(pathlib.Path(f"{tmp}/m/merge_inputs").glob("part-*"))
+        assert parts, "marker parquet expected"
+        for p in parts:
+            p.write_bytes(p.read_bytes()[: max(4, p.stat().st_size // 2)])
+        # resume with the SAME inputs: manifest intact -> all buckets skip
+        res = merge_indexes(spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m")
+        assert res.buckets_merged == 0 and res.buckets_skipped > 0
+        # and the marker was rewritten healthy
+        rows = spark.read.parquet(f"{tmp}/m/merge_inputs").collect()
+        assert len(rows) == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -85,6 +85,46 @@ def test_session_cache_lru_and_reopen(spark, small_cap):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_cached_root_invalidation_releases_resident_sessions(monkeypatch):
+    """fulltext_queries._cached_root rmtrees a stale index root when the
+    fixture table content changes; any SearchSession still resident for
+    that root (or for sibling roots nested under the same owned dir —
+    the merged-pages layout) must be released with it, or its persisted
+    segments linger in executor storage until unrelated LRU pressure."""
+    from oculus_crawl_spark.operators import fulltext_queries as fq
+
+    class FakeSession:
+        def __init__(self):
+            self.invalidated = False
+
+        def invalidate(self):
+            self.invalidated = True
+
+    owned = tempfile.mkdtemp(prefix="ocs_owned_")
+    try:
+        stale_root = f"{owned}/merged"
+        nested_root = f"{owned}/epoch0"
+        live_root = "/somewhere/else/index"
+        s_stale, s_nested, s_live = FakeSession(), FakeSession(), FakeSession()
+        Q._SESSION_CACHE[stale_root] = (("s",), s_stale)
+        Q._SESSION_CACHE[nested_root] = (("s",), s_nested)
+        Q._SESSION_CACHE[live_root] = (("s",), s_live)
+        monkeypatch.setattr(fq, "table_signature", lambda sf, t: ("new",))
+
+        cache = {"sfX": (("old",), stale_root, owned)}
+        new_root = tempfile.mkdtemp(prefix="ocs_new_")
+        got = fq._cached_root(cache, "sfX", lambda: (new_root, new_root))
+        assert got == new_root
+        assert s_stale.invalidated and stale_root not in Q._SESSION_CACHE
+        assert s_nested.invalidated and nested_root not in Q._SESSION_CACHE
+        assert not s_live.invalidated and live_root in Q._SESSION_CACHE
+        shutil.rmtree(new_root, ignore_errors=True)
+    finally:
+        Q._SESSION_CACHE.pop("/somewhere/else/index", None)
+        Q._SESSION_CACHE.clear()
+        shutil.rmtree(owned, ignore_errors=True)
+
+
 def test_inplace_rebuild_detected_under_eviction_pressure(spark, small_cap):
     tmp = tempfile.mkdtemp(prefix="ocs_stale_")
     try:
