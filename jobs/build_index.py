@@ -60,6 +60,14 @@ def main() -> None:
             "--pages path derives the salt hint from --prior-docmap's "
             "index automatically"
         )
+    if args.documents and args.prior_docmap:
+        # Symmetric surprise: a documents table carries its own doc_id
+        # column, so a docmap has nothing to map — silently ignoring it
+        # would let an operator believe id continuity was applied.
+        ap.error(
+            "--prior-docmap applies to --pages builds only; a "
+            "--documents table already carries doc_id"
+        )
 
     from oculus_crawl_spark.operators.build import (
         build_index,

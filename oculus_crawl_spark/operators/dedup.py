@@ -321,6 +321,20 @@ def minhash_bands_udf(text: pd.Series) -> pd.Series:
     return _minhash_band_keys_batch(text)
 
 
+def pin_parent(derived: DataFrame, parent: DataFrame) -> DataFrame:
+    """Tie `parent`'s Python lifetime to `derived`'s and return `derived`.
+
+    pyspark DataFrame ops return JVM-plan wrappers with NO Python
+    reference to the frame they were derived from, so a finalizer hung
+    on an operator's result (e.g. minhash_near_dup_pairs' cache
+    release) fires the moment a caller keeps only a derived frame —
+    before any action runs. Every deriver of a finalizer-carrying frame
+    must route through this helper instead of re-inventing the
+    attribute convention."""
+    derived._ocs_parent_keepalive = parent
+    return derived
+
+
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH band buckets -> candidate (a_id, b_id) pairs (distinct)."""
     banded = (
@@ -510,7 +524,7 @@ def minhash_near_dup_pairs(
     # persist silently degrades to per-branch recompute of the
     # shingle-hash scan (the 1.7x tax this cache removes — still
     # correct, just slow). Derivers must pin `out` for the life of the
-    # derived frame, as q_dedup_minhash_lsh does.
+    # derived frame via pin_parent(), as q_dedup_minhash_lsh does.
     return out
 
 
@@ -647,14 +661,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = minhash_near_dup_pairs(docs)
-    out = pairs.orderBy("a_id", "b_id")
     # Pin the parent: its finalizer releases the shared hash-set cache,
     # and .orderBy returns a frame with no Python ref to `pairs` — an
     # unpinned parent is collected HERE and the persist dies before the
     # driver ever collects (see the lifetime contract in
     # minhash_near_dup_pairs).
-    out._minhash_pairs_keepalive = pairs
-    return out
+    return pin_parent(pairs.orderBy("a_id", "b_id"), pairs)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -344,6 +344,7 @@ def merge_indexes(
         (int(s["epoch"]), int(s["n_docs"]), float(s["avgdl"])) for s in stats
     ))
     marker_path = f"{out.root}/merge_inputs"
+    marker_trusted = False
     if resume:
         try:
             # A crash can leave a readable-but-EMPTY marker directory
@@ -364,6 +365,13 @@ def merge_indexes(
                 "resume=True but this out_root was merged from a different "
                 "input set; merge into a fresh root or pass resume=False"
             )
+        # The done-bucket manifest is only trusted when an INTACT marker
+        # vouches that it was written for THIS input set. An absent or
+        # unreadable marker proves nothing, so resume degrades to
+        # re-merging every bucket (waves are dynamic-partition-overwrite
+        # idempotent — redoing them is safe, merely slower) instead of
+        # skipping buckets that may belong to a different input set.
+        marker_trusted = prev == inputs_sig
     spark.createDataFrame(
         [(inputs_sig,)], "inputs_sig string"
     ).write.mode("overwrite").parquet(marker_path)
@@ -410,7 +418,11 @@ def merge_indexes(
         for r in df.select("term_bucket").distinct().collect()
     )
     all_buckets = sorted(set(all_buckets))
-    done = _read_done_buckets(spark, out, epoch_out) if resume else set()
+    done = (
+        _read_done_buckets(spark, out, epoch_out)
+        if (resume and marker_trusted)
+        else set()
+    )
     pending = [b for b in all_buckets if b not in done]
 
     n_waves = max(1, min(cfg.merge_waves, len(pending)))

@@ -67,6 +67,27 @@ def test_build_index_cli_rejects_pages_with_prior_index():
     assert "--documents builds only" in out.stderr
 
 
+def test_build_index_cli_rejects_documents_with_prior_docmap():
+    """Symmetric guard: a documents table carries its own doc_id, so a
+    docmap has nothing to map — the combination used to be silently
+    accepted and silently dropped."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            "jobs/build_index.py",
+            "--documents", "/nonexistent/docs",
+            "--index-root", "/nonexistent/root",
+            "--prior-docmap", "/nonexistent/docmap",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert out.returncode != 0
+    assert "--pages builds only" in out.stderr
+
+
 def test_approx_distinct_within_bound(spark):
     row = q_approx_distinct(spark, SF0001).collect()[0]
     li = spark.read.parquet(f"{SF0001}/lineitem.parquet")

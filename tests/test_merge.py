@@ -326,7 +326,11 @@ def test_merge_resume_absorbs_torn_marker(spark):
     merge_inputs marker; reading it raises Py4JJavaError (not
     AnalysisException), and the crash-recovery path must treat a marker
     whose own write never committed as 'no marker' — not brick resume
-    on the exact failure class it exists for."""
+    on the exact failure class it exists for. And because the marker is
+    what ties the done-bucket manifest to an input set, an unvouched
+    manifest must not be trusted either: resume re-merges every bucket
+    rather than skipping buckets a different input set may have
+    committed."""
     import pathlib
 
     tmp = tempfile.mkdtemp(prefix="ocs_torn_marker_")
@@ -339,9 +343,12 @@ def test_merge_resume_absorbs_torn_marker(spark):
         assert parts, "marker parquet expected"
         for p in parts:
             p.write_bytes(p.read_bytes()[: max(4, p.stat().st_size // 2)])
-        # resume with the SAME inputs: manifest intact -> all buckets skip
+        # resume with the SAME inputs: the torn marker cannot vouch that
+        # the manifest belongs to this input set, so resume must NOT
+        # skip manifest buckets — it re-merges everything (idempotent
+        # dynamic-partition overwrite) instead of bricking OR trusting.
         res = merge_indexes(spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m")
-        assert res.buckets_merged == 0 and res.buckets_skipped > 0
+        assert res.buckets_skipped == 0 and res.buckets_merged > 0
         # and the marker was rewritten healthy
         rows = spark.read.parquet(f"{tmp}/m/merge_inputs").collect()
         assert len(rows) == 1

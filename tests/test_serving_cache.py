@@ -120,7 +120,6 @@ def test_cached_root_invalidation_releases_resident_sessions(monkeypatch):
         assert not s_live.invalidated and live_root in Q._SESSION_CACHE
         shutil.rmtree(new_root, ignore_errors=True)
     finally:
-        Q._SESSION_CACHE.pop("/somewhere/else/index", None)
         Q._SESSION_CACHE.clear()
         shutil.rmtree(owned, ignore_errors=True)
 
