@@ -346,32 +346,61 @@ def merge_indexes(
     marker_path = f"{out.root}/merge_inputs"
     marker_trusted = False
     if resume:
-        try:
-            # A crash can leave a readable-but-EMPTY marker directory
-            # (the parquet files committed, the rows not): zero rows is
-            # "no marker", not an IndexError. Deliberately broad except,
-            # same rationale as build._prior_hot_group_df: a TRUNCATED
-            # marker part-file (killed writer) surfaces as Py4JJavaError
-            # at collect(), not AnalysisException — and a marker whose
-            # own write never committed proves nothing about the
-            # manifest, so it degrades to "no marker" rather than
-            # bricking the resume path it exists to protect.
-            rows = spark.read.parquet(marker_path).collect()
-        except Exception:
-            rows = []
-        prev = rows[0]["inputs_sig"] if rows else None
+        prev = None
+        for attempt in (0, 1):
+            try:
+                # A crash can leave a readable-but-EMPTY marker directory
+                # (the parquet files committed, the rows not): zero rows
+                # is "no marker", not an IndexError. Deliberately broad
+                # except, same rationale as build._prior_hot_group_df: a
+                # TRUNCATED marker part-file (killed writer) surfaces as
+                # Py4JJavaError at collect(), not AnalysisException — and
+                # a marker whose own write never committed proves nothing
+                # about the manifest, so it degrades to "no marker"
+                # rather than bricking the resume path it exists to
+                # protect. One retry first: a transient storage blip
+                # raises the same exception class as a torn file, and a
+                # false "torn" verdict costs a full (correct, purged)
+                # re-merge of a possibly-committed index.
+                rows = spark.read.parquet(marker_path).collect()
+                prev = rows[0]["inputs_sig"] if rows else None
+                break
+            except AnalysisException:
+                break  # no marker directory at all
+            except Exception:
+                if attempt == 0:
+                    time.sleep(0.2)
         if prev is not None and prev != inputs_sig:
             raise ValueError(
                 "resume=True but this out_root was merged from a different "
                 "input set; merge into a fresh root or pass resume=False"
             )
         # The done-bucket manifest is only trusted when an INTACT marker
-        # vouches that it was written for THIS input set. An absent or
-        # unreadable marker proves nothing, so resume degrades to
-        # re-merging every bucket (waves are dynamic-partition-overwrite
-        # idempotent — redoing them is safe, merely slower) instead of
-        # skipping buckets that may belong to a different input set.
+        # vouches that it was written for THIS input set.
         marker_trusted = prev == inputs_sig
+    if not marker_trusted:
+        # Nothing this root holds is vouched for (torn/absent marker, or
+        # resume=False reusing a dirty root). Re-merging the new input
+        # set's buckets is NOT enough: its waves dynamic-overwrite only
+        # the term_buckets the new inputs contain, so segments a
+        # DIFFERENT input set committed for other buckets would survive
+        # on disk — and finalize derives the dictionary from ALL
+        # committed segments, silently serving ghost postings from the
+        # foreign corpus. The stale manifest would likewise keep its old
+        # rows next to the re-merge's appends, double-counting every
+        # lineage consumer. Purge both with empty static overwrites
+        # BEFORE the new marker is written: a crash mid-purge leaves the
+        # marker torn/absent, so the next attempt purges again; once the
+        # marker commits, the root holds only this input set's state and
+        # the manifest can be trusted by the next resume.
+        spark.createDataFrame([], schemas.SEGMENTS).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "static").partitionBy(
+            "term_bucket"
+        ).parquet(out.segments)
+        spark.createDataFrame([], schemas.LINEAGE_METRICS).write.mode(
+            "overwrite"
+        ).parquet(out.lineage)
     spark.createDataFrame(
         [(inputs_sig,)], "inputs_sig string"
     ).write.mode("overwrite").parquet(marker_path)

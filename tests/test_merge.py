@@ -352,5 +352,56 @@ def test_merge_resume_absorbs_torn_marker(spark):
         # and the marker was rewritten healthy
         rows = spark.read.parquet(f"{tmp}/m/merge_inputs").collect()
         assert len(rows) == 1
+        # The stale manifest was purged, not appended to: exactly one
+        # done row per bucket, or every lineage consumer that sums
+        # input_rows/output_rows would report 2x after the re-merge.
+        lineage = (
+            spark.read.parquet(f"{tmp}/m/lineage_metrics")
+            .filter("stage = 'merge' and status = 'done'")
+            .groupBy("epoch", "partition_id")
+            .count()
+            .collect()
+        )
+        assert lineage and all(r["count"] == 1 for r in lineage)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_untrusted_root_purges_ghost_state(spark):
+    """A torn marker over a root merged from a DIFFERENT input set must
+    not leave that set's term_buckets behind: the re-merge's dynamic
+    partition overwrite only touches the new inputs' buckets, while
+    finalize derives the dictionary from ALL committed segments — so
+    without an explicit purge, buckets only the foreign set wrote would
+    keep serving ghost postings for a corpus that is no longer merged
+    here."""
+    import pathlib
+
+    def corpus(token, n=20):
+        rows = [(i, f"{token} value {i}") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    tmp = tempfile.mkdtemp(prefix="ocs_ghost_purge_")
+    try:
+        build_index(corpus("ghostterm"), f"{tmp}/a0", epoch=0)
+        build_index(corpus("ghostterm", 10), f"{tmp}/a1", epoch=1)
+        merge_indexes(spark, [f"{tmp}/a0", f"{tmp}/a1"], f"{tmp}/m")
+        for p in pathlib.Path(f"{tmp}/m/merge_inputs").glob("part-*"):
+            p.write_bytes(p.read_bytes()[: max(4, p.stat().st_size // 2)])
+        # Same epochs, different corpus (no 'ghostterm'): the torn
+        # marker cannot prove the root belongs to another input set, so
+        # the merge proceeds from a clean slate rather than erroring.
+        build_index(corpus("freshterm"), f"{tmp}/b0", epoch=0)
+        build_index(corpus("freshterm", 10), f"{tmp}/b1", epoch=1)
+        merge_indexes(spark, [f"{tmp}/b0", f"{tmp}/b1"], f"{tmp}/m")
+        terms = {
+            r["term"]
+            for r in spark.read.parquet(f"{tmp}/m/dictionary").collect()
+        }
+        assert "freshterm" in terms and "ghostterm" not in terms
+        sess = SearchSession(spark, f"{tmp}/m")
+        assert sess.search(["ghostterm"], k=5).count() == 0
+        assert sess.search(["freshterm"], k=5).count() == 5
+        sess.invalidate()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

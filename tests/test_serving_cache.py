@@ -46,12 +46,22 @@ def _top_doc(spark, root: str, term: str) -> int:
     return int(rows[0]["doc_id"]) if rows else -1
 
 
+def _drain_session_cache():
+    """Pop-and-invalidate instead of clear(): a bare clear() drops real
+    resident sessions without releasing their persisted segments, which
+    then sit in executor storage for the rest of the suite — the exact
+    leak class _cached_root's invalidation exists to prevent."""
+    while Q._SESSION_CACHE:
+        _, (_sig, sess) = Q._SESSION_CACHE.popitem()
+        sess.invalidate()
+
+
 @pytest.fixture()
 def small_cap(monkeypatch):
     monkeypatch.setattr(Q, "SESSION_CACHE_CAP", 2)
-    Q._SESSION_CACHE.clear()
+    _drain_session_cache()
     yield
-    Q._SESSION_CACHE.clear()
+    _drain_session_cache()
 
 
 def test_session_cache_lru_and_reopen(spark, small_cap):
@@ -81,7 +91,7 @@ def test_session_cache_lru_and_reopen(spark, small_cap):
         assert _top_doc(spark, roots["b"], "markerb") >= 0
         assert set(Q._SESSION_CACHE) == {roots["c"], roots["b"]}
     finally:
-        Q._SESSION_CACHE.clear()
+        _drain_session_cache()
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -120,7 +130,7 @@ def test_cached_root_invalidation_releases_resident_sessions(monkeypatch):
         assert not s_live.invalidated and live_root in Q._SESSION_CACHE
         shutil.rmtree(new_root, ignore_errors=True)
     finally:
-        Q._SESSION_CACHE.clear()
+        _drain_session_cache()
         shutil.rmtree(owned, ignore_errors=True)
 
 
@@ -149,5 +159,5 @@ def test_inplace_rebuild_detected_under_eviction_pressure(spark, small_cap):
         assert len(Q.search(spark, root_a, ["omega"], k=50).collect()) == 20
         assert len(Q._SESSION_CACHE) <= Q.SESSION_CACHE_CAP
     finally:
-        Q._SESSION_CACHE.clear()
+        _drain_session_cache()
         shutil.rmtree(tmp, ignore_errors=True)
