@@ -57,8 +57,10 @@ semantics hang on dynamic partition overwrite, whose Iceberg equivalent
 is ``overwritePartitions()`` / ``replaceWhere`` on the v2 writer, plus
 real positional deletes instead of the tombstones table. Flipping the
 merge to a live catalog therefore changes these call sites (the wave
-overwrite, the tombstone write, the finalize overwrites, and the
-pyarrow tombstone reads in ``_load_tombstones``) as a unit; none of it
+overwrite, the tombstone write, the finalize overwrites, the
+untrusted-root purge — an Iceberg ``TRUNCATE``/``replace`` of the
+segments and lineage tables — and the pyarrow tombstone reads in
+``_load_tombstones``) as a unit; none of it
 is executable here (no Iceberg jars, no network — SURVEY §7.6), so the
 parquet path stays the tested truth rather than shipping an
 unexecutable branch.
