@@ -11,6 +11,11 @@ pyfiles:
 test:
 	python -m pytest tests/ -x -q
 
+# Simulate the grading driver: fresh process, hostile TZ, sf0.01
+# DuckDB oracle views, per-cell type equality (all 52 entries).
+verify:
+	python scripts/driver_check.py
+
 bench:
 	python bench.py
 
