@@ -41,22 +41,14 @@ def _cached_root(cache, sf_dir: str, builder) -> str:
     if hit is not None and hit[0] == sig:
         return hit[1]
     if hit is not None:
-        # The root being deleted may still have a resident SearchSession
-        # with persisted segments; nothing will ever search the old path
-        # again, so its signature re-check never runs and the executor-
-        # storage entry would linger until LRU pressure from 8 OTHER
-        # roots. Release it with the directory.
-        from . import query as _query
+        # Release any resident SearchSession for the servable root and
+        # for sibling roots nested under the owned dir (merged-pages
+        # layouts nest epoch indexes + the merged root) before deleting
+        # the directory they serve from.
+        from .query import release_sessions_under
 
-        for root in [
-            r
-            for r in _query._SESSION_CACHE
-            # merged-pages owned dirs nest several servable roots
-            # (epoch indexes + the merged root), so match by prefix,
-            # not just the cached servable root itself
-            if r == hit[1] or r.startswith(hit[2].rstrip("/") + "/")
-        ]:
-            _query._SESSION_CACHE.pop(root)[1].invalidate()
+        release_sessions_under(hit[1])
+        release_sessions_under(hit[2])
         shutil.rmtree(hit[2], ignore_errors=True)
     root, owned = builder()
     cache[sf_dir] = (sig, root, owned)

@@ -395,14 +395,26 @@ def merge_indexes(
         # marker torn/absent, so the next attempt purges again; once the
         # marker commits, the root holds only this input set's state and
         # the manifest can be trusted by the next resume.
+        #
+        # Purge ORDER is load-bearing: lineage (the done manifest) MUST
+        # go before segments. A root can still hold a PREVIOUS input
+        # set's intact marker while this purge runs (the new marker is
+        # only written below) — if segments were purged first and the
+        # process died before the lineage purge, a later resume of that
+        # previous input set would find its marker intact, trust the
+        # surviving all-done manifest, run zero waves, and finalize a
+        # silently EMPTY index. Lineage-first closes the window: any
+        # crash leaves either the old state untouched or a manifest
+        # with no done buckets, so that resume re-merges everything
+        # (waves are dynamic-partition-overwrite idempotent).
+        spark.createDataFrame([], schemas.LINEAGE_METRICS).write.mode(
+            "overwrite"
+        ).parquet(out.lineage)
         spark.createDataFrame([], schemas.SEGMENTS).write.mode(
             "overwrite"
         ).option("partitionOverwriteMode", "static").partitionBy(
             "term_bucket"
         ).parquet(out.segments)
-        spark.createDataFrame([], schemas.LINEAGE_METRICS).write.mode(
-            "overwrite"
-        ).parquet(out.lineage)
     spark.createDataFrame(
         [(inputs_sig,)], "inputs_sig string"
     ).write.mode("overwrite").parquet(marker_path)
@@ -443,12 +455,11 @@ def merge_indexes(
     )
 
     seg_inputs = [spark.read.parquet(p.segments) for p in inputs]
-    all_buckets = sorted(
+    all_buckets = sorted({
         int(r["term_bucket"])
         for df in seg_inputs
         for r in df.select("term_bucket").distinct().collect()
-    )
-    all_buckets = sorted(set(all_buckets))
+    })
     done = (
         _read_done_buckets(spark, out, epoch_out)
         if (resume and marker_trusted)

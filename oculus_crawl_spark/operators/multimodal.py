@@ -130,7 +130,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(docs).orderBy("doc_id")
 
 
+# The src CTE mirrors the engine's fail-loudly NULL contract (both
+# engine paths raise on a NULL payload): a NULL text would otherwise
+# NULL-propagate through md5/octet_length here while the engine aborts,
+# and the two sides would diverge on exactly the corrupt-input case the
+# contract exists for.
 SQL_MEDIA_FEATURES = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN error('NULL media payload')
+              ELSE text END AS text
+  FROM documents
+)
 SELECT doc_id,
        'text/synthetic' AS media_type,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -139,7 +150,7 @@ SELECT doc_id,
        ('0x' || substr(md5(text), 9, 8))::BIGINT AS f1,
        ('0x' || substr(md5(text), 17, 8))::BIGINT AS f2,
        ('0x' || substr(md5(text), 25, 8))::BIGINT AS f3
-FROM documents ORDER BY doc_id
+FROM src ORDER BY doc_id
 """
 
 

@@ -714,6 +714,22 @@ def _index_signature(index_root: str) -> tuple:
         return ()
 
 
+def release_sessions_under(path: str) -> None:
+    """Invalidate and drop every cached ``SearchSession`` whose index
+    root IS ``path`` or lives under it — for callers about to delete or
+    rewrite that directory (a stale fixture root, an in-place merge):
+    nothing will ever search the old path again, so its signature
+    re-check never runs and the persisted segments would otherwise
+    linger in executor storage until unrelated LRU pressure. Public so
+    cache owners never touch ``_SESSION_CACHE``'s internals (eviction
+    must always pair the pop with ``invalidate()``)."""
+    prefix = path.rstrip("/") + "/"
+    for root in [
+        r for r in _SESSION_CACHE if r == path or r.startswith(prefix)
+    ]:
+        _SESSION_CACHE.pop(root)[1].invalidate()
+
+
 def search(
     spark: SparkSession,
     index_root: str,

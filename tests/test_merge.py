@@ -405,3 +405,41 @@ def test_untrusted_root_purges_ghost_state(spark):
         sess.invalidate()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_purge_crash_window_cannot_finalize_empty_index(spark):
+    """The untrusted-root purge must clear the LINEAGE manifest before
+    the segments table. A root can still hold a previous input set's
+    intact marker while the purge runs (the new marker is written
+    after it), so if segments went first and the process died between
+    the two writes, a later resume of that previous input set would
+    find its marker intact, trust the surviving all-done manifest, run
+    zero waves, and finalize a silently EMPTY index. This test pins
+    the worst state the lineage-first order permits — manifest purged,
+    segments + old marker intact — and asserts that resuming the SAME
+    input set re-merges every bucket and serves correct results."""
+    from oculus_crawl_spark import schemas
+
+    tmp = tempfile.mkdtemp(prefix="ocs_purge_order_")
+    try:
+        docs = _docs(spark).filter(F.col("doc_id") < 30)
+        build_index(docs.filter("doc_id % 2 = 0"), f"{tmp}/e0", epoch=0)
+        build_index(docs.filter("doc_id % 2 = 1"), f"{tmp}/e1", epoch=1)
+        merge_indexes(spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m")
+        expected = _results(spark, f"{tmp}/m", queries=["dup", "scan"], k=5)
+        # Simulate a crash right after the purge's FIRST write (the
+        # lineage overwrite), exactly as merge_indexes issues it.
+        spark.createDataFrame([], schemas.LINEAGE_METRICS).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/m/lineage_metrics")
+        res = merge_indexes(
+            spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m", resume=True
+        )
+        # The intact marker matches, but the purged manifest has no done
+        # buckets — everything re-merges; nothing is skipped into an
+        # empty-segments finalize.
+        assert res.buckets_skipped == 0 and res.buckets_merged > 0
+        assert spark.read.parquet(f"{tmp}/m/dictionary").count() > 0
+        assert _results(spark, f"{tmp}/m", queries=["dup", "scan"], k=5) == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
