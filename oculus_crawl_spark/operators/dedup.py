@@ -329,8 +329,10 @@ def pin_parent(derived: DataFrame, parent: DataFrame) -> DataFrame:
     on an operator's result (e.g. minhash_near_dup_pairs' cache
     release) fires the moment a caller keeps only a derived frame —
     before any action runs. Every deriver of a finalizer-carrying frame
-    must route through this helper instead of re-inventing the
-    attribute convention."""
+    in THIS module routes through this helper instead of re-inventing
+    the attribute convention; if another operator family grows such a
+    frame, move the helper to a shared module rather than importing it
+    from dedup."""
     derived._ocs_parent_keepalive = parent
     return derived
 

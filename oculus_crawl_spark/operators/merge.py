@@ -249,6 +249,17 @@ def _merge_blocks_factory(
     return merge_blocks
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem of the path's own
+    scheme (local, hdfs, s3a, ...) — ``os.path`` would answer False for
+    any non-local out_root and silently skip the purge that depends on
+    this."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _read_done_buckets(spark: SparkSession, paths: IndexPaths, epoch: int) -> set[int]:
     try:
         rows = (
@@ -407,14 +418,21 @@ def merge_indexes(
         # crash leaves either the old state untouched or a manifest
         # with no done buckets, so that resume re-merges everything
         # (waves are dynamic-partition-overwrite idempotent).
-        spark.createDataFrame([], schemas.LINEAGE_METRICS).write.mode(
-            "overwrite"
-        ).parquet(out.lineage)
-        spark.createDataFrame([], schemas.SEGMENTS).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "static").partitionBy(
-            "term_bucket"
-        ).parquet(out.segments)
+        #
+        # Skipped on a genuinely FRESH root (neither table exists):
+        # every first merge would otherwise pay two Spark write jobs
+        # that delete nothing. Existence goes through the Hadoop FS of
+        # the path's own scheme, not os.path — out_root need not be
+        # local on a real cluster.
+        if _fs_exists(spark, out.lineage) or _fs_exists(spark, out.segments):
+            spark.createDataFrame([], schemas.LINEAGE_METRICS).write.mode(
+                "overwrite"
+            ).parquet(out.lineage)
+            spark.createDataFrame([], schemas.SEGMENTS).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "static").partitionBy(
+                "term_bucket"
+            ).parquet(out.segments)
     spark.createDataFrame(
         [(inputs_sig,)], "inputs_sig string"
     ).write.mode("overwrite").parquet(marker_path)
@@ -450,9 +468,17 @@ def merge_indexes(
         ).alias("h"),
     ).collect()[0]
     tombstone_fp = (int(fp_row["n"]), int(fp_row["h"]))
-    tombstones.write.mode("overwrite").partitionBy("range_bucket").parquet(
-        out.tombstones
-    )
+    # STATIC overwrite, pinned: tombstones are a pure function of THIS
+    # input set, so the write must replace the whole table. Under the
+    # session-global dynamic mode, only range_buckets present in the new
+    # set would be rewritten — a previous input set's delete files in
+    # other buckets would survive (dense doc_ids make stale matches the
+    # norm, silently dropping live docs), re-opening on the tombstones
+    # table exactly the ghost-state hole the purge above closes for
+    # segments and lineage.
+    tombstones.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("range_bucket").parquet(out.tombstones)
 
     seg_inputs = [spark.read.parquet(p.segments) for p in inputs]
     all_buckets = sorted({
@@ -460,11 +486,7 @@ def merge_indexes(
         for df in seg_inputs
         for r in df.select("term_bucket").distinct().collect()
     })
-    done = (
-        _read_done_buckets(spark, out, epoch_out)
-        if (resume and marker_trusted)
-        else set()
-    )
+    done = _read_done_buckets(spark, out, epoch_out) if marker_trusted else set()
     pending = [b for b in all_buckets if b not in done]
 
     n_waves = max(1, min(cfg.merge_waves, len(pending)))

@@ -723,7 +723,8 @@ def release_sessions_under(path: str) -> None:
     linger in executor storage until unrelated LRU pressure. Public so
     cache owners never touch ``_SESSION_CACHE``'s internals (eviction
     must always pair the pop with ``invalidate()``)."""
-    prefix = path.rstrip("/") + "/"
+    path = path.rstrip("/")  # cache keys are unslashed roots
+    prefix = path + "/"
     for root in [
         r for r in _SESSION_CACHE if r == path or r.startswith(prefix)
     ]:

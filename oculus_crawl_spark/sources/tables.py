@@ -81,9 +81,15 @@ def write_table(
     mode: str = "overwrite",
 ) -> None:
     """Write a table via Iceberg when available, else layout-identical
-    partitioned Parquet. ``mode='overwrite'`` honors the session's dynamic
-    partition-overwrite setting, so only partitions present in ``df`` are
-    replaced — the primitive the resumable merge builds on."""
+    partitioned Parquet. ``mode='overwrite'`` is a FULL-table replace on
+    both backends: the Iceberg branch is ``createOrReplace()``, and the
+    parquet branch pins static partition-overwrite to match — under the
+    session-global dynamic mode a partitioned overwrite would keep
+    partitions absent from ``df``, so a build into a reused root would
+    leave a previous corpus' term_buckets on disk (and the dictionary is
+    derived from COMMITTED segments, so those ghosts would serve). The
+    resumable merge's per-bucket waves are the one deliberate dynamic
+    overwrite, and they use their own writer (merge.py), not this shim."""
     spark = df.sparkSession
     catalog = _iceberg_catalog(spark)
     if catalog is not None:
@@ -100,6 +106,8 @@ def write_table(
         return
     writer = df.write.mode(mode)
     if partition_by:
+        if mode == "overwrite":
+            writer = writer.option("partitionOverwriteMode", "static")
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
 

@@ -443,3 +443,56 @@ def test_purge_crash_window_cannot_finalize_empty_index(spark):
         assert _results(spark, f"{tmp}/m", queries=["dup", "scan"], k=5) == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_untrusted_root_purges_foreign_tombstones(spark):
+    """The tombstones table must be a FULL replace per merge: under the
+    session-global dynamic partition-overwrite mode, a new input set
+    that tombstones only range_bucket 0 would leave a previous input
+    set's range_bucket-1 delete files on disk — and dense doc_ids make
+    stale matches the norm, so the kernel would silently drop the new
+    set's LIVE docs in that bucket."""
+    import pathlib
+
+    BUCKET1 = 1 << 20  # doc_ids >= 2^20 land in range_bucket 1
+
+    def epochs(tmp, tag, bucket1_text):
+        # epoch 0: doc 5 (bucket 0) + doc 2^20 (bucket 1), both live.
+        # epoch 1: doc 5 re-crawled EMPTY -> tombstones (0, bucket0, 5).
+        e0 = spark.createDataFrame(
+            [(5, f"{tag} zero"), (BUCKET1, bucket1_text)],
+            "doc_id long, text string",
+        )
+        e1 = spark.createDataFrame([(5, "")], "doc_id long, text string")
+        build_index(e0, f"{tmp}/{tag}_e0", epoch=0)
+        build_index(e1, f"{tmp}/{tag}_e1", epoch=1)
+        return [f"{tmp}/{tag}_e0", f"{tmp}/{tag}_e1"]
+
+    tmp = tempfile.mkdtemp(prefix="ocs_foreign_tomb_")
+    try:
+        # Input set A ALSO tombstones its bucket-1 doc (re-crawled empty
+        # at epoch 1), so A leaves a range_bucket=1 delete file behind.
+        a0 = spark.createDataFrame(
+            [(5, "alpha zero"), (BUCKET1, "alpha one")],
+            "doc_id long, text string",
+        )
+        a1 = spark.createDataFrame(
+            [(5, ""), (BUCKET1, "")], "doc_id long, text string"
+        )
+        build_index(a0, f"{tmp}/a_e0", epoch=0)
+        build_index(a1, f"{tmp}/a_e1", epoch=1)
+        merge_indexes(spark, [f"{tmp}/a_e0", f"{tmp}/a_e1"], f"{tmp}/m")
+        assert pathlib.Path(f"{tmp}/m/tombstones/range_bucket=1").exists()
+        for p in pathlib.Path(f"{tmp}/m/merge_inputs").glob("part-*"):
+            p.write_bytes(p.read_bytes()[: max(4, p.stat().st_size // 2)])
+        # Input set B: same epochs/doc_ids, but its bucket-1 doc stays
+        # LIVE (only doc 5 in bucket 0 is tombstoned). A's stale
+        # bucket-1 delete file matches (epoch 0, doc 2^20) exactly.
+        merge_indexes(spark, epochs(tmp, "beta", "beta one"), f"{tmp}/m")
+        sess = SearchSession(spark, f"{tmp}/m")
+        hits = sess.search(["beta"], k=5).collect()
+        assert {r["doc_id"] for r in hits} == {BUCKET1}, hits
+        assert sess.search(["zero"], k=5).count() == 0  # tombstoned
+        sess.invalidate()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
