@@ -37,6 +37,22 @@ def tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+def bmax32(x: float) -> np.float32:
+    """Admissible float32 block-max: the to-nearest cast can land one
+    ulp BELOW the true float64 max, and WAND pruning compares idf*bmax
+    against an EXACT float64 theta — a bound short by ~score*6e-8 (far
+    above the query side's 1e-9 slack) prunes blocks holding docs that
+    TIE the k-th score, silently dropping the pinned tie-break winner.
+    Round the cast UP instead, so stored bounds are always >= the true
+    max. ONE definition for the build kernel, the merge kernel, and the
+    kernel test harness — a harness that stores float64 (or a plain
+    cast) is not testing the production bound representation."""
+    f = np.float32(x)
+    if f < x:
+        f = np.nextafter(f, np.float32(np.inf))
+    return f
+
+
 # --- Spark Column expression (JVM-side, codegen'd) ---------------------------
 
 

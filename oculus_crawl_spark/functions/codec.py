@@ -290,6 +290,10 @@ def decode_doc_ids_many(
     # of each block relative to a running offset, then one cumsum.
     out_lens = ns
     total = int(out_lens.sum())
+    if total == 0:
+        # All blocks empty (0-length blocks are allowed, mirroring
+        # pfor_decode_many's contract).
+        return np.empty(0, dtype=np.uint64), out_lens
     full = np.empty(total, dtype=np.uint64)
     starts = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
     # positions of each block's first value
@@ -301,7 +305,11 @@ def decode_doc_ids_many(
     )
     full[pos] = gaps
     csum = np.cumsum(full, dtype=np.uint64)
-    base = csum[starts]  # running sum at each block's first slot (== 0 gap)
+    # Running sum at each block's first slot (== 0 gap). A 0-length
+    # block's start equals the NEXT block's slot — or `total` when it
+    # trails, which would index past csum — but its base is repeated 0
+    # times below, so clipping the index is safe.
+    base = csum[np.minimum(starts, total - 1)]
     adjust = firsts - base
     out = csum + np.repeat(adjust, out_lens)
     return out, out_lens

@@ -274,14 +274,19 @@ def prepare_pages(
 
     E2b filter (pushed to the scan by Catalyst — native columns only),
     E2c latest-per-url dedup (pinned tie-break: warc_ts DESC, then the
-    longer html so reruns are deterministic even on ts ties), then E1
-    byte-identical Arrow text extraction. ``html`` is dropped immediately
-    after extraction so column pruning keeps it out of every shuffle."""
+    longer html, then xxhash64(html) — the hash makes the order TOTAL,
+    so two same-instant crawls of equal length but different bytes
+    can't flip winners with shuffle arrival order across reruns), then
+    E1 byte-identical Arrow text extraction. ``html`` is dropped
+    immediately after extraction so column pruning keeps it out of
+    every shuffle."""
     df = pages.filter(F.col("url").isNotNull() & F.col("html").isNotNull())
     if langs is not None:
         df = df.filter(F.col("lang").isin(list(langs)))
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.length("html").desc()
+        F.col("warc_ts").desc(),
+        F.length("html").desc(),
+        F.xxhash64("html").asc(),
     )
     df = (
         df.withColumn("_rn", F.row_number().over(w))
@@ -635,8 +640,11 @@ def _merge_runs_partition_factory(avgdl: float, epoch: int, cfg: IndexConfig):
                 out["last_doc"].append(np.int64(d[-1]))
                 out["n_docs"].append(len(d))
                 out["sum_tf"].append(int(t.sum()))
+                # Upward-rounded cast (bm25.bmax32): an inadmissible
+                # to-nearest float32 makes WAND prune blocks whose docs
+                # tie the k-th score.
                 out["block_max_tf_norm"].append(
-                    np.float32(tf_norms[start : start + bs].max())
+                    bm25.bmax32(tf_norms[start : start + bs].max())
                 )
                 d_slices.append(d)
                 t_slices.append(t)
@@ -858,20 +866,26 @@ def build_index(
             F.lit("done").alias("status"),
         )
     )
-    # The four finalize writes are independent of each other; submit
+    # Dictionary/doclen/lineage are independent of each other; submit
     # them from driver threads (Spark schedules concurrent jobs fine)
     # so their fixed per-job latencies overlap instead of summing.
+    # corpus_stats commits ALONE, strictly AFTER the other three: the
+    # serving tier's staleness token (query._index_signature) is the
+    # corpus_stats file listing, on the contract that every build/merge
+    # rewrites corpus_stats LAST — if it raced ahead here, a concurrent
+    # search() could cache a session built over a half-written
+    # dictionary under the final signature and serve it indefinitely.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
             pool.submit(write_table, dictionary, paths.dictionary),
             pool.submit(write_table, doclen, paths.doclen),
-            pool.submit(write_table, stats_df, paths.corpus_stats),
             pool.submit(write_table, lineage, paths.lineage, None, "append"),
         ]
         for f in futs:
             f.result()
+    write_table(stats_df, paths.corpus_stats)
     postings.unpersist()
     terms_dim.unpersist()
     doclen.unpersist()

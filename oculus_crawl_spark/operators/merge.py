@@ -216,6 +216,11 @@ def _merge_blocks_factory(
         for bid, start in enumerate(range(0, len(docs), bs)):
             d = docs[start : start + bs]
             t = tfs[start : start + bs]
+            # Upward-rounded cast (bm25.bmax32), same admissibility
+            # contract as the build kernel: an inadmissible to-nearest
+            # float32 makes WAND prune a block whose doc ties the k-th
+            # score.
+            bmax32 = bm25.bmax32(tf_norms[start : start + bs].max())
             rows.append(
                 {
                     "term": term,
@@ -226,7 +231,7 @@ def _merge_blocks_factory(
                     "last_doc": np.int64(d[-1]),
                     "n_docs": np.int32(len(d)),
                     "sum_tf": np.int64(t.sum()),
-                    "block_max_tf_norm": np.float32(tf_norms[start : start + bs].max()),
+                    "block_max_tf_norm": bmax32,
                     "epoch": np.int64(epoch_out),
                 }
             )

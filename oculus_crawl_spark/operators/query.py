@@ -63,6 +63,7 @@ from ..functions.codec import (
     pfor_decode,
     pfor_decode_many,
 )
+from ..sources.tables import read_engine_table
 from .build import IndexPaths, index_geometry
 
 
@@ -474,13 +475,18 @@ class SearchSession:
         self.spark = spark
         self.cfg = cfg
         self.paths = IndexPaths(index_root)
-        stats = spark.read.parquet(self.paths.corpus_stats).collect()[0]
+        # read_engine_table, not read.parquet: build_index writes these
+        # through the Iceberg-or-Parquet shim, and a session configured
+        # for the catalog backend has no parquet files at these paths —
+        # the serving tier must mirror the writer's backend choice
+        # (build.py's own prior-index reader already does).
+        stats = read_engine_table(spark, self.paths.corpus_stats).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
         self.epoch = int(stats["epoch"])
-        self._dictionary = spark.read.parquet(self.paths.dictionary)
+        self._dictionary = read_engine_table(spark, self.paths.dictionary)
         self._cached = cache_segments
-        seg = spark.read.parquet(self.paths.segments).select(*_SEG_COLS)
+        seg = read_engine_table(spark, self.paths.segments).select(*_SEG_COLS)
         # Ranges actually present (auto gather switch + partition sizing):
         # dense doc_ids make this exact.
         # Stored geometry wins over the caller's cfg — a session opened
@@ -559,6 +565,16 @@ class SearchSession:
         combinations produce identical rows (pinned tie-break)."""
         spark = self.spark
 
+        empty_schema = "query_id int, rank int, doc_id long, score double"
+        if with_metrics:
+            empty_schema += ", blocks_total long, blocks_decoded long"
+        # k=0 is a valid "no results requested" batch, not an error: the
+        # WAND kernel's argpartition(k-1) theta seed and zero-size score
+        # reductions assume k >= 1, so guard here instead of crashing in
+        # every executor task.
+        if k <= 0:
+            return spark.createDataFrame([], empty_schema)
+
         # Q1: tokenize queries with the SAME frozen analyzer as the corpus.
         qterms: list[tuple[int, str]] = []
         for qid, q in enumerate(queries):
@@ -569,9 +585,7 @@ class SearchSession:
             )
             qterms.extend((qid, t) for t in sorted(set(toks)))
 
-        empty = spark.createDataFrame(
-            [], "query_id int, rank int, doc_id long, score double"
-        )
+        empty = spark.createDataFrame([], empty_schema)
         if not qterms:
             return empty
 
@@ -696,12 +710,22 @@ class SearchSession:
 # least-recently-used session instead of pinning every root forever.
 SESSION_CACHE_CAP = 8
 _SESSION_CACHE: dict[str, tuple[tuple, SearchSession]] = {}
+# Guards every read-check-mutate sequence on _SESSION_CACHE: Spark
+# drivers routinely run concurrent query threads, and the unlocked
+# del/reinsert dance raced (double-del KeyError on the hit path; two
+# sessions both persisting the same segments on the miss path).
+import threading
+
+_SESSION_LOCK = threading.Lock()
 
 
-def _index_signature(index_root: str) -> tuple:
-    """Cheap staleness token for a local index root: the corpus_stats
-    file listing + mtimes (every build/merge rewrites corpus_stats
-    last). On a real catalog this would be the Iceberg snapshot id."""
+def _index_signature(index_root: str, spark: SparkSession | None = None) -> tuple:
+    """Cheap staleness token for an index root: the corpus_stats file
+    listing + mtimes on the parquet backend (every build/merge rewrites
+    corpus_stats last), or the table's latest Iceberg snapshot id when
+    the root is catalog-backed (no local files to scan — the `.snapshots`
+    metadata table is the canonical Iceberg staleness token and changes
+    on every rewrite)."""
     import os
 
     stats_dir = IndexPaths(index_root).corpus_stats
@@ -711,7 +735,23 @@ def _index_signature(index_root: str) -> tuple:
                 sorted((e.name, e.stat().st_mtime_ns) for e in it if e.is_file())
             )
     except OSError:
-        return ()
+        pass
+    if spark is not None:
+        from ..sources.tables import _iceberg_catalog
+
+        catalog = _iceberg_catalog(spark)
+        if catalog is not None:
+            tbl = f"{catalog}.{stats_dir.strip('/').replace('/', '.')}"
+            try:
+                row = (
+                    spark.read.table(f"{tbl}.snapshots")
+                    .agg(F.max("snapshot_id"))
+                    .collect()[0]
+                )
+                return ("iceberg-snapshot", row[0])
+            except Exception:
+                return ()
+    return ()
 
 
 def release_sessions_under(path: str) -> None:
@@ -725,10 +765,11 @@ def release_sessions_under(path: str) -> None:
     must always pair the pop with ``invalidate()``)."""
     path = path.rstrip("/")  # cache keys are unslashed roots
     prefix = path + "/"
-    for root in [
-        r for r in _SESSION_CACHE if r == path or r.startswith(prefix)
-    ]:
-        _SESSION_CACHE.pop(root)[1].invalidate()
+    with _SESSION_LOCK:
+        for root in [
+            r for r in _SESSION_CACHE if r == path or r.startswith(prefix)
+        ]:
+            _SESSION_CACHE.pop(root)[1].invalidate()
 
 
 def search(
@@ -746,22 +787,31 @@ def search(
     Thin wrapper over a cached ``SearchSession`` per index root; a
     rebuilt/merged-in-place index is detected via the corpus_stats
     signature and the stale session's cache is released."""
-    sig = _index_signature(index_root)
-    hit = _SESSION_CACHE.get(index_root)
-    if hit is None or hit[0] != sig or hit[1].spark is not spark:
-        if hit is not None:
-            hit[1].invalidate()
-            del _SESSION_CACHE[index_root]
-        while len(_SESSION_CACHE) >= SESSION_CACHE_CAP:
-            # LRU eviction: dicts iterate in insertion order and a cache
-            # hit re-inserts below, so the first key is least recent.
-            lru = next(iter(_SESSION_CACHE))
-            _SESSION_CACHE.pop(lru)[1].invalidate()
-        sess = SearchSession(spark, index_root, cfg)
-    else:
-        sess = hit[1]
-        del _SESSION_CACHE[index_root]  # re-insert => most recent
-    _SESSION_CACHE[index_root] = (sig, sess)
+    # The whole read-check-(invalidate/evict/create)-reinsert sequence
+    # holds the lock: two threads hitting the same root otherwise both
+    # take the hit path and double-del (KeyError), or both take the
+    # miss path and build two sessions that each persist() the segments
+    # — duplicate-create is the expensive failure, so session
+    # construction stays inside the critical section (rare: once per
+    # root per rebuild). sess.search() itself runs unlocked.
+    with _SESSION_LOCK:
+        sig = _index_signature(index_root, spark)
+        hit = _SESSION_CACHE.get(index_root)
+        if hit is None or hit[0] != sig or hit[1].spark is not spark:
+            if hit is not None:
+                hit[1].invalidate()
+                del _SESSION_CACHE[index_root]
+            while len(_SESSION_CACHE) >= SESSION_CACHE_CAP:
+                # LRU eviction: dicts iterate in insertion order and a
+                # cache hit re-inserts below, so the first key is least
+                # recent.
+                lru = next(iter(_SESSION_CACHE))
+                _SESSION_CACHE.pop(lru)[1].invalidate()
+            sess = SearchSession(spark, index_root, cfg)
+        else:
+            sess = hit[1]
+            del _SESSION_CACHE[index_root]  # re-insert => most recent
+        _SESSION_CACHE[index_root] = (sig, sess)
     return sess.search(queries, k=k, with_metrics=with_metrics)
 
 

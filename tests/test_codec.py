@@ -157,3 +157,30 @@ def test_encode_many_exception_heavy_and_wide_values():
     blocks = [heavy, np.arange(128, dtype=np.uint64)]
     assert pfor_encode_many(blocks) == [pfor_encode(b) for b in blocks]
     assert encode_doc_gaps_many([wide_ids]) == [encode_doc_gaps(wide_ids)]
+
+
+def test_decode_doc_ids_many_zero_length_blocks():
+    """0-length blocks are part of the documented contract ('lengths
+    mirrors n_docs'); a trailing empty block used to IndexError because
+    its start offset equals the total output length."""
+    from oculus_crawl_spark.functions.codec import decode_doc_ids_many
+
+    a = np.array([5, 9, 12], dtype=np.uint64)
+    bufs = [encode_doc_gaps(a), pfor_encode(np.empty(0, dtype=np.uint64))]
+    out, lens = decode_doc_ids_many(
+        np.array([5, 0], dtype=np.uint64), bufs, np.array([3, 0])
+    )
+    assert out.tolist() == [5, 9, 12] and lens.tolist() == [3, 0]
+    # empty block sandwiched between real ones
+    b = np.array([100], dtype=np.uint64)
+    out, lens = decode_doc_ids_many(
+        np.array([5, 0, 100], dtype=np.uint64),
+        [bufs[0], bufs[1], encode_doc_gaps(b)],
+        np.array([3, 0, 1]),
+    )
+    assert out.tolist() == [5, 9, 12, 100] and lens.tolist() == [3, 0, 1]
+    # all-empty input
+    out, lens = decode_doc_ids_many(
+        np.array([0, 0], dtype=np.uint64), [bufs[1], bufs[1]], np.array([0, 0])
+    )
+    assert out.size == 0 and lens.tolist() == [0, 0]

@@ -116,6 +116,29 @@ def test_out_of_vocabulary_query_is_empty(spark, index_sf0001):
     assert out == []
 
 
+def test_k_zero_returns_empty_not_crash(spark, index_sf0001):
+    """k=0 ('no results requested') used to reach the WAND kernel and
+    die in a zero-size argpartition/min; it must return an empty frame
+    with the standard schema — including the metrics columns when
+    with_metrics is set."""
+    out = search(spark, index_sf0001, ["dup"], k=0)
+    assert out.collect() == []
+    assert out.columns == ["query_id", "rank", "doc_id", "score"]
+    from oculus_crawl_spark.operators.query import SearchSession
+
+    sess = SearchSession(spark, index_sf0001)
+    try:
+        m = sess.search(["dup"], k=0, with_metrics=True)
+        assert m.collect() == []
+        assert m.columns == [
+            "query_id", "rank", "doc_id", "score",
+            "blocks_total", "blocks_decoded",
+        ]
+        assert sess.search(["dup"], k=-3).collect() == []
+    finally:
+        sess.invalidate()
+
+
 def test_gather_modes_identical(spark, index_sf0001, query_set):
     """Coordinator (driver) merge and distributed (window) merge must
     produce identical rows — same pinned tie-break."""

@@ -161,3 +161,33 @@ def test_inplace_rebuild_detected_under_eviction_pressure(spark, small_cap):
     finally:
         _drain_session_cache()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_concurrent_search_same_root_single_session(spark):
+    """Concurrent driver threads on one root: the cache's read-check-
+    mutate sequence is locked, so exactly ONE session is created (no
+    duplicate persist of the same segments) and no thread dies on the
+    hit path's del (the old unlocked dance double-del'd a shared key).
+    Spark drivers routinely run query threads — build_index itself uses
+    a ThreadPoolExecutor."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tmp = tempfile.mkdtemp(prefix="ocs_conc_")
+    try:
+        root = f"{tmp}/idx"
+        build_index(_mini_corpus(spark, "conc"), root)
+        _drain_session_cache()
+
+        def hammer(i: int):
+            return tuple(
+                (r["rank"], r["doc_id"])
+                for r in Q.search(spark, root, ["conc"], k=5).collect()
+            )
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(hammer, range(24)))
+        assert len(set(results)) == 1 and len(results[0]) == 5
+        assert list(Q._SESSION_CACHE) == [root]
+    finally:
+        _drain_session_cache()
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -28,7 +28,10 @@ def make_term_blocks(
                 "first_doc": int(d[0]),
                 "last_doc": int(d[-1]),
                 "n_docs": len(d),
-                "block_max_tf_norm": float(
+                # PRODUCTION representation: the admissible float32
+                # (bm25.bmax32), not float64 — a float64 harness never
+                # exercises the cast the build/merge kernels store.
+                "block_max_tf_norm": bm25.bmax32(
                     bm25.tf_norm(t, l, _AVGDL).max()
                 ),
                 "doc_bytes": encode_doc_gaps(d.astype(np.uint64)),
@@ -157,3 +160,49 @@ def test_term_blocks_decode_blocks_cache_mixing():
     assert np.array_equal(d0[0], ref[0][off : off + n3])
     assert np.array_equal(d0[1], ref[1][off : off + n3])
     assert np.array_equal(d0[2], ref[2][off : off + n3])
+
+
+def test_bmax32_is_admissible_upper_bound():
+    """The stored float32 block max must never sit below the true
+    float64 max (WAND compares idf*bmax against an exact float64
+    theta); a plain to-nearest cast violates this for ~half of all
+    values."""
+    rng = np.random.default_rng(7)
+    xs = rng.random(20000) * np.repeat([1e-3, 1.0, 1e3], 20000)[:20000]
+    casted = np.array([bm25.bmax32(x) for x in xs], dtype=np.float32)
+    assert (casted.astype(np.float64) >= xs).all()
+    # and the bound is tight: at most one ulp above
+    assert (
+        casted.astype(np.float64)
+        <= np.nextafter(xs.astype(np.float32), np.float32(np.inf)).astype(
+            np.float64
+        )
+    ).all()
+
+
+def test_tied_kth_score_in_prunable_block_is_kept():
+    """Regression: a doc that TIES the k-th score, sitting in a block
+    whose to-nearest float32 bound rounds DOWN past the 1e-9 slack,
+    used to be pruned — and the pinned (score DESC, doc_id ASC)
+    tie-break means the dropped doc was the one that should have won.
+    Constructed so the seed block holds the high-scoring doc at a HIGH
+    doc_id while lower doc_ids tie theta in the other block."""
+    # Find a doc length whose tf=1 norm rounds down by more than the
+    # query-side slack when cast to nearest float32.
+    d = next(
+        dl
+        for dl in range(2, 200)
+        if np.float64(np.float32(lo := float(bm25.tf_norm(1, dl, _AVGDL))))
+        < lo - 2e-9
+    )
+    lo = float(bm25.tf_norm(1, d, _AVGDL))
+    docs = np.arange(8, dtype=np.int64)
+    tfs = np.array([1, 1, 1, 1, 1, 1, 1, 8], dtype=np.int64)
+    dls = np.full(8, d, dtype=np.int64)
+    term = make_term_blocks(1.0, docs, tfs, dls)
+    # Block layout: [0..3] all tie at `lo`; [4..7] holds the tf=8 doc,
+    # so it seeds theta = 3rd best seed score = `lo` exactly.
+    got_docs, got_scores = _bmw_topk([term], k=3, avgdl=_AVGDL)
+    hi = float(bm25.tf_norm(8, d, _AVGDL))
+    assert got_docs.tolist() == [7, 0, 1]
+    assert np.allclose(got_scores, [hi, lo, lo])
