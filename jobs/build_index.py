@@ -68,6 +68,15 @@ def main() -> None:
             "--prior-docmap applies to --pages builds only; a "
             "--documents table already carries doc_id"
         )
+    if args.documents and args.langs:
+        # Same silent-surprise class: the (doc_id, text) schema has no
+        # lang column, so the allowlist cannot be applied — an operator
+        # would get an every-language index while believing it was
+        # filtered.
+        ap.error(
+            "--langs applies to --pages builds only; a --documents "
+            "table has no lang column (filter it before handing it in)"
+        )
 
     from oculus_crawl_spark.operators.build import (
         build_index,

@@ -80,7 +80,13 @@ def bm25_oracle_sql(terms: list[str], k: int = 10, round_dp: int = 6) -> str:
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS term FROM documents
 ),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+-- dl LEFT-JOINs from documents so zero-token docs appear as dl=0,
+-- matching the engine's explode_outer sentinel: they contribute to
+-- n_docs/avgdl (hence every score) even though they can't match terms.
+dl AS (SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+       FROM documents d
+       LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) t
+       USING (doc_id)),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -464,7 +464,14 @@ def _verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         nz = denom > 0
         jac[nz] = inter[nz] / denom[nz]
     out = pdf[["a_id", "b_id"]].copy()
-    out["jaccard"] = np.round(jac, 6)
+    # UNROUNDED: the threshold filter downstream must see the exact
+    # value — the oracle and the exact ngram path both filter before
+    # rounding, and a kernel-side round() admitted pairs in
+    # [threshold - 5e-7, threshold) that the oracle excludes. Both
+    # sides divide the same integers in float64, so the unrounded
+    # comparison is bit-identical across engines; display rounding
+    # happens in the caller's output select.
+    out["jaccard"] = jac
     return out
 
 
@@ -509,7 +516,7 @@ def minhash_near_dup_pairs(
         lambda it: (_verify_pairs(pdf) for pdf in it), _VERIFY_SCHEMA
     )
     out = verified.filter(F.col("jaccard") >= threshold).select(
-        "a_id", "b_id", "jaccard"
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
     )
 
     def _release(frame=hsets):

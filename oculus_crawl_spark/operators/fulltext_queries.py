@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bm25
 from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize
-from ..sources.tables import table_signature
+from ..sources.tables import DERIVED_CACHE_LOCK, table_signature
 from .build import build_index_from_documents
 from .query import search, search_bruteforce
 
@@ -33,26 +33,31 @@ _INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 def _cached_root(cache, sf_dir: str, builder) -> str:
     """builder() -> (servable_root, owned_dir); owned_dir is what gets
-    removed when the table content changes under the same sf_dir."""
+    removed when the table content changes under the same sf_dir.
+    DERIVED_CACHE_LOCK guards the whole read-check-mutate sequence —
+    same race class _SESSION_LOCK covers in query.py (double-build +
+    leaked mkdtemp on a concurrent miss; an rmtree racing a thread that
+    just got the root back)."""
     import shutil
 
-    sig = table_signature(sf_dir, "documents")
-    hit = cache.get(sf_dir)
-    if hit is not None and hit[0] == sig:
-        return hit[1]
-    if hit is not None:
-        # Release any resident SearchSession for the servable root and
-        # for sibling roots nested under the owned dir (merged-pages
-        # layouts nest epoch indexes + the merged root) before deleting
-        # the directory they serve from.
-        from .query import release_sessions_under
+    with DERIVED_CACHE_LOCK:
+        sig = table_signature(sf_dir, "documents")
+        hit = cache.get(sf_dir)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        if hit is not None:
+            # Release any resident SearchSession for the servable root
+            # and for sibling roots nested under the owned dir
+            # (merged-pages layouts nest epoch indexes + the merged
+            # root) before deleting the directory they serve from.
+            from .query import release_sessions_under
 
-        release_sessions_under(hit[1])
-        release_sessions_under(hit[2])
-        shutil.rmtree(hit[2], ignore_errors=True)
-    root, owned = builder()
-    cache[sf_dir] = (sig, root, owned)
-    return root
+            release_sessions_under(hit[1])
+            release_sessions_under(hit[2])
+            shutil.rmtree(hit[2], ignore_errors=True)
+        root, owned = builder()
+        cache[sf_dir] = (sig, root, owned)
+        return root
 
 
 def ensure_conf(spark: SparkSession) -> None:
@@ -108,17 +113,31 @@ def get_merged_index(spark: SparkSession, sf_dir: str) -> str:
 def _merged(query: str, k: int = 10):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = get_merged_index(spark, sf_dir)
-        return _rerank_rounded(search(spark, root, [query], k=k))
+        return _rerank_rounded(
+            search(spark, root, [query], k=k + _K_SLACK), k=k
+        )
 
     return fn
 
 
 _DP = 8  # rounding precision for cross-engine score comparison
+# Fixed-k entries overfetch this many extra rows from search() and cut
+# back to k AFTER the rounded re-rank: the engine selects its top-k on
+# UNROUNDED scores while the oracle LIMITs k on the rounded value with
+# doc_id tie-break, so a doc sitting just past the raw k boundary whose
+# score rounds EQUAL to the k-th (raw gap < 5e-9 at _DP=8) wins the
+# oracle's tie-break but never reached the old cut. The slack covers
+# every rounding-step near-tie plausible at fixture scale; exact raw
+# ties need no slack (both sides already break them doc_id ASC).
+_K_SLACK = 32
 
 
-def _rerank_rounded(out: DataFrame, key: str = "doc_id") -> DataFrame:
+def _rerank_rounded(
+    out: DataFrame, key: str = "doc_id", k: int | None = None
+) -> DataFrame:
     """Recompute rank from the ROUNDED score (tie-break ``key`` ASC) so
-    both engines rank on byte-identical keys. NOTE the select shadows
+    both engines rank on byte-identical keys, then cut back to ``k``
+    when the caller overfetched (see _K_SLACK). NOTE the select shadows
     ``score`` with the rounded column BEFORE the window, so the window
     orders on the rounded value — the whole point of the helper.
 
@@ -132,17 +151,22 @@ def _rerank_rounded(out: DataFrame, key: str = "doc_id") -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("score").desc(), F.col(key).asc())
-    return (
+    ranked = (
         out.select(key, F.round("score", _DP).alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .select("rank", key, "score")
     )
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked
 
 
 def _indexed(query: str, k: int = 10):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = get_index(spark, sf_dir)
-        return _rerank_rounded(search(spark, root, [query], k=k))
+        return _rerank_rounded(
+            search(spark, root, [query], k=k + _K_SLACK), k=k
+        )
 
     return fn
 
@@ -151,7 +175,9 @@ def _bruteforce(query: str, k: int = 10):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_conf(spark)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return _rerank_rounded(search_bruteforce(spark, docs, [query], k=k))
+        return _rerank_rounded(
+            search_bruteforce(spark, docs, [query], k=k + _K_SLACK), k=k
+        )
 
     return fn
 
@@ -223,6 +249,9 @@ def get_pages_epoch1_index(spark: SparkSession, sf_dir: str) -> str:
     DELETION slice (doc_id % 10 == 3) re-crawled as EMPTY html — the
     page vanished from the web; its dl=0 sentinel row makes the merge
     tombstone the epoch-0 postings (term_frequencies explode_outer)."""
+    # Unconditional, like every sibling get_*: a warm-cache call must
+    # not depend on get_pages_index (inside build()) having run first.
+    ensure_conf(spark)
 
     def build():
         from ..sources.pages import synthesize_pages
@@ -491,7 +520,10 @@ toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKENIZE_ORACLE_REGEX}')) AS term
   FROM corpus
 ),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl AS (SELECT c.doc_id, coalesce(t.dl, 0) AS dl
+       FROM corpus c
+       LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) t
+       USING (doc_id)),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -583,11 +615,17 @@ def _doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/doclen").select("doc_id", "dl")
 
 
+# LEFT JOIN from documents, not GROUP BY over unnested tokens: the
+# engine's doclen INCLUDES zero-token documents as dl=0 sentinels
+# (explode_outer — they count toward n_docs/avgdl and drive empty-
+# re-crawl tombstoning), while a bare GROUP BY yields no row for them.
 _DOCLEN_SQL = f"""
-SELECT doc_id, count(*) AS dl
-FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
-      FROM documents) t
-GROUP BY doc_id
+SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS BIGINT) AS dl
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS dl
+           FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
+                 FROM documents) t
+           GROUP BY doc_id) t USING (doc_id)
 """
 
 
@@ -598,12 +636,16 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same zero-token contract as _DOCLEN_SQL: n_docs counts EVERY
+# document and avgdl averages over dl=0 sentinels too.
 _CORPUS_STATS_SQL = f"""
 SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl
-FROM (SELECT doc_id, count(*) AS dl
-      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
-            FROM documents) t
-      GROUP BY doc_id) d
+FROM (SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS dl
+                 FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKENIZE_ORACLE_REGEX}')) AS term
+                       FROM documents) t
+                 GROUP BY doc_id) t USING (doc_id)) d
 """
 
 

@@ -6,8 +6,10 @@ Two tiers, mirroring a production vector-search stack:
   are pure JVM expressions (``zip_with``/``aggregate`` under whole-stage
   codegen; no Python anywhere), probes broadcast. O(N·Q) scan — right
   answer for reranking and small probe sets; SQL-mirrored for the
-  driver oracle with the IDENTICAL arithmetic (explicit dot/norm, not
-  an engine builtin, so both sides sum in the same order).
+  driver oracle via DuckDB's ``list_dot_product``, whose summation
+  order may differ from Spark's left fold in the last ulp — the 6-dp
+  rounding on BOTH sides is what absorbs that, so do not tighten the
+  rounding or compare unrounded values across the two engines.
 
 * IVF (inverted-file) ANN — the scale path: k-means coarse quantizer
   trained driver-side on a bounded deterministic sample (the standard
@@ -191,10 +193,17 @@ def ivf_write(
     if n_cells is None:
         n_cells = derive_n_cells(emb.count())
     assignments, centroids = ivf_build(emb, n_cells)
-    assignments.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{index_path}/assignments"
-    )
-    centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    # Through the Iceberg-or-Parquet shim, NOT a raw partitioned write:
+    # write_table pins static partition-overwrite, so a rewrite into a
+    # reused path cannot leave a previous clustering's ghost cell
+    # partitions on disk (under the session-global DYNAMIC mode, cells
+    # absent from the new assignment would survive and ivf_topk_indexed
+    # would route probes into deleted vectors — the same hazard class
+    # the tombstone/segment writers were pinned static for).
+    from ..sources.tables import write_table
+
+    write_table(assignments, f"{index_path}/assignments", ["cell"])
+    write_table(centroids, f"{index_path}/centroids")
     return n_cells
 
 
@@ -519,16 +528,22 @@ def q_ann_ivf(spark, sf_dir):
     import tempfile
 
     emb = _emb(spark, sf_dir)
-    sig = table_signature(sf_dir, "embeddings")
-    hit = _IVF_CACHE.get(sf_dir)
-    if hit is None or hit[0] != sig:
-        if hit is not None:
-            shutil.rmtree(hit[1], ignore_errors=True)
-        path = tempfile.mkdtemp(prefix="ocs_ivf_")
-        ivf_write(emb, path)
-        _IVF_CACHE[sf_dir] = (sig, path)
-    else:
-        path = hit[1]
+    # Same read-check-mutate lock discipline as the fulltext derived-
+    # index caches (and query._SESSION_CACHE): concurrent driver threads
+    # must not double-build or rmtree a path another thread is serving.
+    from ..sources.tables import DERIVED_CACHE_LOCK
+
+    with DERIVED_CACHE_LOCK:
+        sig = table_signature(sf_dir, "embeddings")
+        hit = _IVF_CACHE.get(sf_dir)
+        if hit is None or hit[0] != sig:
+            if hit is not None:
+                shutil.rmtree(hit[1], ignore_errors=True)
+            path = tempfile.mkdtemp(prefix="ocs_ivf_")
+            ivf_write(emb, path)
+            _IVF_CACHE[sf_dir] = (sig, path)
+        else:
+            path = hit[1]
     probes = emb.filter(F.col("vec_id") < N_PROBE_IDS)
     return ivf_topk_indexed(spark, path, probes).orderBy("q_id", "rank")
 

@@ -15,6 +15,31 @@ import re
 from pyspark.sql import SparkSession
 
 
+def merge_processor_pin(
+    master: str, extra_conf: dict[str, str] | None
+) -> dict[str, str]:
+    """Merge the ActiveProcessorCount pin INTO the caller's extra_conf.
+
+    local[k] must mean k CPUs to the WHOLE JVM, not just the task
+    scheduler: without the pin the JVM sizes GC and internal thread
+    pools to the host's visible CPUs, which on a steal-prone shared VM
+    measurably serializes multi-core runs (x128 build at local[8]:
+    133s -> 93s with the pin). Returned as ONE dict so the builder
+    applies each key exactly once — setting the merged value and then
+    re-applying the caller's raw extraJavaOptions silently dropped the
+    pin (last builder.config for a key wins). A caller that already
+    pins ActiveProcessorCount wins. On a real cluster the resource
+    manager sets executor cores and this is inert (no local[k] match)."""
+    merged = dict(extra_conf or {})
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:
+        apc = f"-XX:ActiveProcessorCount={m.group(1)}"
+        prev = merged.get("spark.driver.extraJavaOptions", "")
+        if "ActiveProcessorCount" not in prev:
+            merged["spark.driver.extraJavaOptions"] = f"{prev} {apc}".strip()
+    return merged
+
+
 def get_spark(
     app_name: str = "oculus_crawl_spark",
     master: str | None = None,
@@ -54,20 +79,7 @@ def get_spark(
         # batch — still memory-safe, 20x less per-batch overhead.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200000")
     )
-    # local[k] must mean k CPUs to the WHOLE JVM, not just the task
-    # scheduler: without this the JVM sizes GC and internal thread pools
-    # to the host's 32 visible CPUs, which on this steal-prone shared VM
-    # measurably serializes multi-core runs (x128 build at local[8]:
-    # 133s -> 93s with the pin). On a real cluster the resource manager
-    # sets executor cores and this is inert.
-    m = re.fullmatch(r"local\[(\d+)\]", master)
-    if m:
-        apc = f"-XX:ActiveProcessorCount={m.group(1)}"
-        prev = (extra_conf or {}).get("spark.driver.extraJavaOptions", "")
-        if "ActiveProcessorCount" not in prev:
-            builder = builder.config(
-                "spark.driver.extraJavaOptions", f"{prev} {apc}".strip()
-            )
+    extra_conf = merge_processor_pin(master, extra_conf)
     # Shuffle/spill scratch on tmpfs: this sandbox host shows very high
     # kernel-time cost per filesystem syscall, and shuffle-file traffic
     # through ext4 measurably serializes multi-core runs. tmpfs scratch

@@ -36,6 +36,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# One lock for every derived-index cache keyed on table_signature
+# (fulltext _cached_root, similarity _IVF_CACHE): the caches share the
+# same read-check-mutate shape, and two driver threads missing
+# concurrently would run an expensive build twice and leak the loser's
+# mkdtemp root — or rmtree a stale root another thread is serving. An
+# RLock because one builder (merged pages) re-enters via sibling get_*.
+import threading
+
+DERIVED_CACHE_LOCK = threading.RLock()
+
+
 def table_signature(sf_dir: str, name: str) -> tuple:
     """Content staleness token for one testdata table (file names +
     mtimes): the single source of truth for every derived-index cache

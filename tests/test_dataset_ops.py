@@ -245,7 +245,9 @@ def test_batched_verify_matches_perpair_string_jaccard():
     )
     got = dedup._verify_pairs(pdf)
     for row, (a, b) in zip(got.itertuples(index=False), pairs):
-        exp = round(dedup.jaccard_tokens(tokenize(texts[a]), tokenize(texts[b])), 6)
+        # Kernel output is UNROUNDED (the caller's threshold filter
+        # needs the exact value; rounding is display-only downstream).
+        exp = dedup.jaccard_tokens(tokenize(texts[a]), tokenize(texts[b]))
         assert (row.a_id, row.b_id) == (a, b)
         assert abs(row.jaccard - exp) < 1e-12, (a, b, row.jaccard, exp)
     # Empty batch keeps the schema (mapInPandas requires it).

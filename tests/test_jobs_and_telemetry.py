@@ -127,3 +127,35 @@ def test_prepare_corpus_job_end_to_end(spark, tmp_path):
     assert written.count() == stats["surviving_docs"]
     cols = set(written.columns)
     assert {"doc_id", "text", "pred_lang", "quality", "n_copies"} <= cols
+
+
+def test_processor_pin_survives_caller_extra_java_options():
+    """The APC pin must merge INTO a caller-supplied
+    spark.driver.extraJavaOptions, not be clobbered by it (the old
+    apply-order set the merged value first and then re-applied the
+    caller's raw string — last config for a key wins)."""
+    from oculus_crawl_spark.session import merge_processor_pin
+
+    merged = merge_processor_pin(
+        "local[8]", {"spark.driver.extraJavaOptions": "-Xss4m"}
+    )
+    assert merged["spark.driver.extraJavaOptions"] == (
+        "-Xss4m -XX:ActiveProcessorCount=8"
+    )
+    # caller's own pin wins
+    own = merge_processor_pin(
+        "local[8]",
+        {"spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=2"},
+    )
+    assert own["spark.driver.extraJavaOptions"] == "-XX:ActiveProcessorCount=2"
+    # non-local masters add nothing
+    assert "spark.driver.extraJavaOptions" not in merge_processor_pin(
+        "local-cluster[2,1,4096]", {}
+    )
+    assert merge_processor_pin("local[4]", None)[
+        "spark.driver.extraJavaOptions"
+    ] == "-XX:ActiveProcessorCount=4"
+    # the input dict is not mutated
+    src = {"a": "b"}
+    merge_processor_pin("local[2]", src)
+    assert src == {"a": "b"}
