@@ -59,8 +59,11 @@ real positional deletes instead of the tombstones table. Flipping the
 merge to a live catalog therefore changes these call sites (the wave
 overwrite, the tombstone write, the finalize overwrites, the
 untrusted-root purge — an Iceberg ``TRUNCATE``/``replace`` of the
-segments and lineage tables — and the pyarrow tombstone reads in
-``_load_tombstones``) as a unit; none of it
+segments and lineage tables — the pyarrow tombstone reads in
+``_load_tombstones``, and the INPUT-index reads of segments/
+corpus_stats/doclen/lineage/marker, which become catalog
+``spark.read.table`` like build/query's ``read_engine_table``) as a
+unit; none of it
 is executable here (no Iceberg jars, no network — SURVEY §7.6), so the
 parquet path stays the tested truth rather than shipping an
 unexecutable branch.
