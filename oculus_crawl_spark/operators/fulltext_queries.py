@@ -33,12 +33,14 @@ _INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 def _cached_root(cache, sf_dir: str, builder) -> str:
     """builder() -> (servable_root, owned_dir); owned_dir is what gets
-    removed when the table content changes under the same sf_dir.
-    DERIVED_CACHE_LOCK guards the whole read-check-mutate sequence —
-    same race class _SESSION_LOCK covers in query.py (double-build +
-    leaked mkdtemp on a concurrent miss; an rmtree racing a thread that
-    just got the root back)."""
-    import shutil
+    retired (deleted at process exit) when the table content changes
+    under the same sf_dir. DERIVED_CACHE_LOCK guards the whole
+    read-check-mutate sequence — same race class _SESSION_LOCK covers
+    in query.py (double-build + leaked mkdtemp on a concurrent miss).
+    Deletion is DEFERRED via retire_derived_root, never inline: a
+    Spark job another driver thread launched from the old root may
+    still be scanning it (see sources.tables._RETIRED_ROOTS)."""
+    from ..sources.tables import retire_derived_root
 
     with DERIVED_CACHE_LOCK:
         sig = table_signature(sf_dir, "documents")
@@ -49,12 +51,12 @@ def _cached_root(cache, sf_dir: str, builder) -> str:
             # Release any resident SearchSession for the servable root
             # and for sibling roots nested under the owned dir
             # (merged-pages layouts nest epoch indexes + the merged
-            # root) before deleting the directory they serve from.
+            # root) — nothing serves the old root again after this.
             from .query import release_sessions_under
 
             release_sessions_under(hit[1])
             release_sessions_under(hit[2])
-            shutil.rmtree(hit[2], ignore_errors=True)
+            retire_derived_root(hit[2])
         root, owned = builder()
         cache[sf_dir] = (sig, root, owned)
         return root

@@ -97,14 +97,27 @@ def extract_media_features(
         # NULL media would md5/octet_length to NULL feature rows here
         # while the Python path raises — the two paths must agree, so
         # both fail loudly (assert_true raises on the first NULL row).
+        # The guard rides on EVERY output column, not just one: Catalyst
+        # column pruning drops unreferenced projections, so a guard
+        # attached only to fp_md5 would vanish from a
+        # select("doc_id", "n_bytes") plan and NULL rows would pass
+        # silently — the mapInPandas path raises regardless of which
+        # columns the caller keeps (pruning cannot reach inside the
+        # kernel), and the JVM path must match it.
         guard = F.assert_true(
             F.col("media").isNotNull(), F.lit("NULL media payload")
         )
-        fp = F.when(guard.isNull(), F.md5("media"))
+
+        def g(col):
+            # assert_true returns NULL on success and raises otherwise,
+            # so this wrapper is value-transparent.
+            return F.when(guard.isNull(), col)
+
+        fp = g(F.md5("media"))
         return media_df.select(
-            "doc_id",
-            "media_type",
-            F.octet_length("media").cast("int").alias("n_bytes"),
+            g(F.col("doc_id")).alias("doc_id"),
+            g(F.col("media_type")).alias("media_type"),
+            g(F.octet_length("media").cast("int")).alias("n_bytes"),
             fp.alias("fp_md5"),
             *[
                 F.conv(F.substring(fp, 1 + 8 * i, 8), 16, 10)

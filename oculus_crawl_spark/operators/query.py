@@ -717,6 +717,20 @@ _SESSION_CACHE: dict[str, tuple[tuple, SearchSession]] = {}
 import threading
 
 _SESSION_LOCK = threading.Lock()
+# One construction lock PER ROOT (lock striping): SearchSession
+# construction runs several Spark jobs (segments repartition+persist,
+# dictionary sizing), so holding the global lock across it would make
+# one slow session open head-of-line-block warm-cache hits on every
+# OTHER root. The global lock guards only the map mutations (and the
+# stripe map itself); the per-root lock serializes open/reopen of one
+# root so concurrent misses still build exactly one session. Stripe
+# count is bounded by distinct roots this process ever serves.
+_ROOT_LOCKS: dict[str, threading.Lock] = {}
+
+
+def _root_lock(index_root: str) -> threading.Lock:
+    with _SESSION_LOCK:
+        return _ROOT_LOCKS.setdefault(index_root, threading.Lock())
 
 
 def _index_signature(index_root: str, spark: SparkSession | None = None) -> tuple:
@@ -787,31 +801,46 @@ def search(
     Thin wrapper over a cached ``SearchSession`` per index root; a
     rebuilt/merged-in-place index is detected via the corpus_stats
     signature and the stale session's cache is released."""
-    # The whole read-check-(invalidate/evict/create)-reinsert sequence
-    # holds the lock: two threads hitting the same root otherwise both
-    # take the hit path and double-del (KeyError), or both take the
-    # miss path and build two sessions that each persist() the segments
-    # — duplicate-create is the expensive failure, so session
-    # construction stays inside the critical section (rare: once per
-    # root per rebuild). sess.search() itself runs unlocked.
-    with _SESSION_LOCK:
+    # Per-root lock for the whole read-check-(invalidate/create)
+    # sequence: two threads hitting the SAME root otherwise both take
+    # the hit path and double-del (KeyError), or both take the miss
+    # path and build two sessions that each persist() the segments —
+    # duplicate-create is the expensive failure, so construction stays
+    # inside the per-root critical section. The GLOBAL lock is held
+    # only around map mutations, so a slow session open on one root
+    # never blocks warm hits on other roots. sess.search() runs
+    # unlocked. (release_sessions_under may pop the entry between our
+    # insert and the search — harmless: invalidate() only unpersists,
+    # and Spark recomputes from the still-present files; retired
+    # fixture roots are deleted at process exit, not inline.)
+    with _root_lock(index_root):
         sig = _index_signature(index_root, spark)
-        hit = _SESSION_CACHE.get(index_root)
-        if hit is None or hit[0] != sig or hit[1].spark is not spark:
+        with _SESSION_LOCK:
+            hit = _SESSION_CACHE.get(index_root)
+            stale = None
+            if hit is not None and (
+                hit[0] != sig or hit[1].spark is not spark
+            ):
+                stale = _SESSION_CACHE.pop(index_root)
+                hit = None
             if hit is not None:
-                hit[1].invalidate()
-                del _SESSION_CACHE[index_root]
-            while len(_SESSION_CACHE) >= SESSION_CACHE_CAP:
-                # LRU eviction: dicts iterate in insertion order and a
-                # cache hit re-inserts below, so the first key is least
-                # recent.
-                lru = next(iter(_SESSION_CACHE))
-                _SESSION_CACHE.pop(lru)[1].invalidate()
+                sess = hit[1]
+                del _SESSION_CACHE[index_root]  # re-insert => most recent
+                _SESSION_CACHE[index_root] = (sig, sess)
+        if stale is not None:
+            stale[1].invalidate()
+        if hit is None:
+            # Construction outside the global lock (several Spark jobs);
+            # the per-root lock guarantees single construction per root.
             sess = SearchSession(spark, index_root, cfg)
-        else:
-            sess = hit[1]
-            del _SESSION_CACHE[index_root]  # re-insert => most recent
-        _SESSION_CACHE[index_root] = (sig, sess)
+            with _SESSION_LOCK:
+                while len(_SESSION_CACHE) >= SESSION_CACHE_CAP:
+                    # LRU eviction: dicts iterate in insertion order and
+                    # a cache hit re-inserts above, so the first key is
+                    # least recent.
+                    lru = next(iter(_SESSION_CACHE))
+                    _SESSION_CACHE.pop(lru)[1].invalidate()
+                _SESSION_CACHE[index_root] = (sig, sess)
     return sess.search(queries, k=k, with_metrics=with_metrics)
 
 

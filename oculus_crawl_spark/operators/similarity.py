@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import read_table, table_signature
+from ..sources.tables import read_engine_table, read_table, table_signature
 
 K = 5
 N_PROBE_IDS = 10  # probes = vec_id < 10
@@ -221,8 +221,13 @@ def ivf_topk_indexed(
     files (CI-asserted). Exact rerank inside the selected cells."""
     import numpy as np
 
+    # read_engine_table, not read.parquet: ivf_write goes through the
+    # Iceberg-or-Parquet shim, and on the catalog backend there are no
+    # parquet files at these paths — the read side must mirror the
+    # writer's backend choice (same asymmetry class SearchSession fixed
+    # for corpus_stats/dictionary/segments).
     cent = sorted(
-        spark.read.parquet(f"{index_path}/centroids").collect(),
+        read_engine_table(spark, f"{index_path}/centroids").collect(),
         key=lambda r: r["cell"],
     )
     C = np.array([r["centroid"] for r in cent], dtype=np.float64)
@@ -243,7 +248,7 @@ def ivf_topk_indexed(
     probe_cells = spark.createDataFrame(routes, "q_id long, cell int")
     cells_needed = sorted({c for _, c in routes})
     base = (
-        spark.read.parquet(f"{index_path}/assignments")
+        read_engine_table(spark, f"{index_path}/assignments")
         .filter(F.col("cell").isin(cells_needed))  # -> PartitionFilters
         .select(
             "cell",
@@ -524,21 +529,22 @@ def q_ann_ivf(spark, sf_dir):
     """Driver entry runs the REAL architecture: write the cell-
     partitioned index once per (process, sf_dir, table content), probe
     via the pruned scan path."""
-    import shutil
     import tempfile
 
     emb = _emb(spark, sf_dir)
     # Same read-check-mutate lock discipline as the fulltext derived-
     # index caches (and query._SESSION_CACHE): concurrent driver threads
-    # must not double-build or rmtree a path another thread is serving.
-    from ..sources.tables import DERIVED_CACHE_LOCK
+    # must not double-build, and a stale root is RETIRED (deleted at
+    # process exit), never rmtree'd inline — another thread's probe job
+    # may still be scanning its cell files.
+    from ..sources.tables import DERIVED_CACHE_LOCK, retire_derived_root
 
     with DERIVED_CACHE_LOCK:
         sig = table_signature(sf_dir, "embeddings")
         hit = _IVF_CACHE.get(sf_dir)
         if hit is None or hit[0] != sig:
             if hit is not None:
-                shutil.rmtree(hit[1], ignore_errors=True)
+                retire_derived_root(hit[1])
             path = tempfile.mkdtemp(prefix="ocs_ivf_")
             ivf_write(emb, path)
             _IVF_CACHE[sf_dir] = (sig, path)

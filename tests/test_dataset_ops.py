@@ -523,3 +523,28 @@ def test_clean_corpus_filters_and_collapses(spark):
         d for d in qual if qual[d] >= 0.5 and langs[d] == "en"
     }
     assert {r["doc_id"] for r in out} == expected
+
+
+def test_media_features_null_raises_even_when_guard_pruned(spark):
+    """Both paths fail loudly on a NULL payload REGARDLESS of which
+    output columns the caller keeps: Catalyst column pruning drops
+    unreferenced projections, so a guard riding only on fp_md5 would
+    vanish from a select("doc_id","n_bytes") plan and NULL rows would
+    silently pass on the JVM path while the mapInPandas kernel (which
+    pruning cannot reach inside) raised."""
+    docs = spark.createDataFrame(
+        [(1, "text/synthetic", bytearray(b"x")), (2, "text/synthetic", None)],
+        "doc_id long, media_type string, media binary",
+    )
+    for cols in (["doc_id", "n_bytes"], ["doc_id"], ["fp_md5"]):
+        with pytest.raises(Exception, match="NULL media payload"):
+            multimodal.extract_media_features(docs).select(*cols).collect()
+        with pytest.raises(Exception, match="NULL media payload"):
+            multimodal.extract_media_features(
+                docs, decoder=lambda b, _t: b
+            ).select(*cols).collect()
+    # Non-NULL rows are value-transparent through the guard wrapper.
+    ok = docs.filter("media is not null")
+    assert sorted(map(tuple, multimodal.extract_media_features(ok).collect())) \
+        == sorted(map(tuple, multimodal.extract_media_features(
+            ok, decoder=lambda b, _t: b).collect()))

@@ -191,3 +191,70 @@ def test_concurrent_search_same_root_single_session(spark):
     finally:
         _drain_session_cache()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_concurrent_search_two_roots_no_cross_blocking(spark):
+    """Lock striping: concurrent misses on TWO roots must each build
+    exactly one session (per-root serialization) while neither root's
+    construction excludes the other (the global lock covers only map
+    mutations). Assert the observable contract: one resident session
+    per root, all threads rank-identical per root."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tmp = tempfile.mkdtemp(prefix="ocs_conc2_")
+    try:
+        roots = {}
+        for name in ("x", "y"):
+            roots[name] = f"{tmp}/{name}"
+            build_index(_mini_corpus(spark, f"mark{name}"), roots[name])
+        _drain_session_cache()
+
+        def hammer(i: int):
+            name = "x" if i % 2 else "y"
+            return name, tuple(
+                (r["rank"], r["doc_id"])
+                for r in Q.search(spark, roots[name], [f"mark{name}"], k=5)
+                .collect()
+            )
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(hammer, range(24)))
+        by_root = {}
+        for name, rows in results:
+            by_root.setdefault(name, set()).add(rows)
+        assert set(by_root) == {"x", "y"}
+        assert all(len(v) == 1 for v in by_root.values())
+        assert set(Q._SESSION_CACHE) == set(roots.values())
+    finally:
+        _drain_session_cache()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cached_root_retires_old_dir_instead_of_deleting(monkeypatch):
+    """Evicting a stale fixture root must NOT rmtree it inline — a Spark
+    job another driver thread launched from the old root may still be
+    mid-scan (the cache lock protects the MAP, not in-flight readers).
+    The dir is retired and deleted at process exit instead."""
+    from oculus_crawl_spark.operators import fulltext_queries as fq
+    from oculus_crawl_spark.sources import tables as T
+
+    owned = tempfile.mkdtemp(prefix="ocs_retire_")
+    marker = os.path.join(owned, "keep.txt")
+    with open(marker, "w") as f:
+        f.write("x")
+    monkeypatch.setattr(fq, "table_signature", lambda sf, t: ("new",))
+    cache = {"sfY": (("old",), f"{owned}/root", owned)}
+    new_root = tempfile.mkdtemp(prefix="ocs_retire_new_")
+    try:
+        got = fq._cached_root(cache, "sfY", lambda: (new_root, new_root))
+        assert got == new_root
+        # Old root still fully readable after eviction...
+        assert os.path.exists(marker)
+        assert owned in T._RETIRED_ROOTS
+        # ...and gone once the exit purge runs.
+        T._purge_retired_roots()
+        assert not os.path.exists(owned)
+        assert not T._RETIRED_ROOTS
+    finally:
+        shutil.rmtree(new_root, ignore_errors=True)
+        shutil.rmtree(owned, ignore_errors=True)
