@@ -191,6 +191,23 @@ def derive_n_salts(
     return int(min(1024, max(cfg.n_salts, need)))
 
 
+def derive_dictionary(seg: DataFrame) -> DataFrame:
+    """E6: exact df/cf dictionary from a COMMITTED segments table — ONE
+    definition shared by the build and merge finalizers. The dictionary
+    is a rank-stability-critical contract (exact df, pinned column
+    order); two copy-pasted aggregations would silently diverge built
+    vs merged generations on the next edit."""
+    return (
+        seg.groupBy("term", "term_bucket")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
+            F.count("*").cast("int").alias("n_blocks"),
+        )
+        .select("term", "df", "cf", "n_blocks", "term_bucket")
+    )
+
+
 def index_geometry(stats_row) -> tuple[int, int]:
     """(n_term_buckets, range_bits) from a corpus_stats row.
 
@@ -810,6 +827,15 @@ def build_index(
         doclen.unpersist()
         wall = time.monotonic() - t0
         return BuildResult(paths, n_docs, avgdl, wall, n_docs / wall)
+    # Materialize the numeric postings (and the FULL terms_dim — the
+    # head(1) above cached only its first partition) FROM the cached raw
+    # triples BEFORE freeing them: the doclen collect materialized only
+    # postings_raw itself, and `postings` (lazy persist) is otherwise
+    # first computed by the segments write — after this unpersist, which
+    # would re-run the Arrow extract/tokenize over the whole corpus and
+    # break the module's one-corpus-pass contract.
+    terms_dim.count()
+    postings.count()
     postings_raw.unpersist()
 
     # E7: salted two-phase assembly -> compressed blocks, written
@@ -826,15 +852,7 @@ def build_index(
     # segments so they can never drift from the written index. df is
     # exact (approx_count_distinct would break rank-stability).
     seg = read_engine_table(spark, paths.segments)
-    dictionary = (
-        seg.groupBy("term", "term_bucket")
-        .agg(
-            F.sum("n_docs").cast("long").alias("df"),
-            F.sum("sum_tf").cast("long").alias("cf"),
-            F.count("*").cast("int").alias("n_blocks"),
-        )
-        .select("term", "df", "cf", "n_blocks", "term_bucket")
-    )
+    dictionary = derive_dictionary(seg)
     stats_df = spark.createDataFrame(
         [(n_docs, avgdl, epoch, cfg.analysis_version,
           cfg.n_term_buckets, cfg.range_bits)],
@@ -881,7 +899,13 @@ def build_index(
         futs = [
             pool.submit(write_table, dictionary, paths.dictionary),
             pool.submit(write_table, doclen, paths.doclen),
-            pool.submit(write_table, lineage, paths.lineage, None, "append"),
+            # overwrite, not append: a rebuild into a reused root fully
+            # replaces segments/dictionary/doclen (write_table pins
+            # static overwrite), so appending here would accumulate
+            # duplicate (epoch, 'build', partition_id) rows that every
+            # lineage consumer double-counts — the same stale-manifest
+            # class the merge path purges explicitly.
+            pool.submit(write_table, lineage, paths.lineage),
         ]
         for f in futs:
             f.result()

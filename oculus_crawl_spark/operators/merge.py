@@ -83,7 +83,7 @@ from pyspark.sql import functions as F
 from .. import schemas
 from ..config import DEFAULT, IndexConfig
 from ..functions import bm25
-from .build import IndexPaths, index_geometry
+from .build import IndexPaths, derive_dictionary, index_geometry
 
 
 class MergeInterrupted(RuntimeError):
@@ -290,12 +290,19 @@ def _read_done_buckets(spark: SparkSession, paths: IndexPaths, epoch: int) -> se
 
 def _doclen_and_tombstones(
     spark: SparkSession, inputs: list[IndexPaths], range_bits: int
-) -> tuple[DataFrame, DataFrame]:
-    """(merged doclen, tombstones). One ranking window over the unioned
-    doclens yields both: rank 1 per doc_id is the surviving (latest)
-    epoch; every other (doc_id, epoch) row is a superseded crawl whose
-    postings must be dropped wholesale — including terms the new text no
-    longer contains."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(merged doclen, tombstones, ranked-handle). One ranking window
+    over the unioned doclens yields both: rank 1 per doc_id is the
+    surviving (latest) epoch; every other (doc_id, epoch) row is a
+    superseded crawl whose postings must be dropped wholesale —
+    including terms the new text no longer contains.
+
+    ``ranked`` is returned PERSISTED (caller unpersists when done):
+    four downstream actions consume its children — the n_docs/avgdl
+    collect, the tombstone fingerprint agg, the tombstone write, and
+    the finalize doclen write — and without the cache each one re-reads
+    every input doclen table and re-runs the partitionBy(doc_id) window
+    shuffle (~4x a multi-TB shuffle at the 10^12-doc design point)."""
     parts = []
     for p in inputs:
         ep = int(spark.read.parquet(p.corpus_stats).collect()[0]["epoch"])
@@ -306,14 +313,14 @@ def _doclen_and_tombstones(
     for d in parts[1:]:
         union = union.unionByName(d)
     w = Window.partitionBy("doc_id").orderBy(F.col("epoch").desc())
-    ranked = union.withColumn("_rn", F.row_number().over(w))
+    ranked = union.withColumn("_rn", F.row_number().over(w)).persist()
     doclen = ranked.filter(F.col("_rn") == 1).select("doc_id", "dl")
     tombstones = ranked.filter(F.col("_rn") > 1).select(
         "epoch",
         F.shiftright("doc_id", range_bits).cast("long").alias("range_bucket"),
         "doc_id",
     )
-    return doclen, tombstones
+    return doclen, tombstones, ranked
 
 
 def merge_indexes(
@@ -361,8 +368,21 @@ def merge_indexes(
     # inputs would silently skip everything while finalize stats reflect
     # the new inputs. A small marker pins the inputs this out_root's
     # manifest belongs to.
+    # (epoch, n_docs, avgdl) alone is NOT enough: an input rebuilt in
+    # place whose per-doc token counts happen to be unchanged (word-swap
+    # edits, regenerated same-shape fixtures) preserves all three, and a
+    # trusted marker would then skip every bucket and finalize over the
+    # OLD committed segments. Each input's corpus_stats file listing +
+    # mtimes (query._index_signature — every build/merge rewrites
+    # corpus_stats LAST, so ANY rebuild changes it) is therefore folded
+    # in; on non-local roots it degrades to () and the aggregate triple
+    # remains the guard.
+    from .query import _index_signature
+
     inputs_sig = repr(sorted(
-        (int(s["epoch"]), int(s["n_docs"]), float(s["avgdl"])) for s in stats
+        (int(s["epoch"]), int(s["n_docs"]), float(s["avgdl"]),
+         _index_signature(p.root))
+        for s, p in zip(stats, inputs)
     ))
     marker_path = f"{out.root}/merge_inputs"
     marker_trusted = False
@@ -446,9 +466,15 @@ def merge_indexes(
     ).write.mode("overwrite").parquet(marker_path)
 
     # Merged corpus stats FIRST — block-max bounds depend on avgdl.
-    doclen, tombstones = _doclen_and_tombstones(spark, inputs, range_bits)
+    doclen, tombstones, ranked = _doclen_and_tombstones(
+        spark, inputs, range_bits
+    )
     row = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["a"])
+    # avg over zero rows is NULL: merging all-empty inputs (zero-doc
+    # epochs are a build-supported shape) must produce a well-formed
+    # empty generation, not a TypeError.
+    n_docs = int(row["n"])
+    avgdl = float(row["a"]) if row["a"] is not None else 0.0
 
     # Tombstones committed BEFORE any wave (idempotent overwrite, so a
     # crash-resume rewrites the identical content), PARTITIONED BY
@@ -560,21 +586,29 @@ def merge_indexes(
         manifest.write.mode("append").parquet(out.lineage)
 
         if fail_after_waves is not None and wi + 1 >= fail_after_waves:
+            # Release the ranked-doclen cache on the injected-crash path
+            # too: crash-resume tests re-run merge_indexes in ONE
+            # process, and each run persists a fresh `ranked` (a real
+            # crash kills the executor storage with the process).
+            ranked.unpersist()
             raise MergeInterrupted(f"injected failure after wave {wi + 1}")
+
+    # All inputs segment-less (every doc deleted / zero-doc epochs):
+    # no wave ever ran, so on a fresh root the segments table does not
+    # exist — commit an explicit empty one (non-partitioned, schema in
+    # the part file, mirroring build.py's empty-index path) so finalize
+    # and serving can read the root.
+    if not _fs_exists(spark, out.segments):
+        spark.createDataFrame([], schemas.SEGMENTS).write.mode(
+            "overwrite"
+        ).parquet(out.segments)
 
     # Finalize (idempotent overwrites) from the COMMITTED merged segments.
     seg = spark.read.schema(schemas.SEGMENTS).parquet(out.segments)
-    dictionary = (
-        seg.groupBy("term", "term_bucket")
-        .agg(
-            F.sum("n_docs").cast("long").alias("df"),
-            F.sum("sum_tf").cast("long").alias("cf"),
-            F.count("*").cast("int").alias("n_blocks"),
-        )
-        .select("term", "df", "cf", "n_blocks", "term_bucket")
-    )
+    dictionary = derive_dictionary(seg)
     dictionary.write.mode("overwrite").parquet(out.dictionary)
     doclen.write.mode("overwrite").parquet(out.doclen)
+    ranked.unpersist()
     spark.createDataFrame(
         [(n_docs, avgdl, epoch_out, stats[0]["analysis_version"],
           n_term_buckets, range_bits)],

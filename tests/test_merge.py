@@ -496,3 +496,53 @@ def test_untrusted_root_purges_foreign_tombstones(spark):
         sess.invalidate()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_of_all_empty_inputs_is_wellformed(spark):
+    """Both empty shapes the build deliberately supports must MERGE:
+    zero-doc epochs (empty doclen -> avg(dl) is NULL) and all-empty-text
+    epochs (docs but zero segments -> no wave ever writes out.segments).
+    The merged generation is a well-formed, servable empty index."""
+    docs = _docs(spark)
+    tmp = tempfile.mkdtemp(prefix="ocs_empty_merge_")
+    try:
+        # zero-doc epochs
+        none = docs.filter("doc_id < 0")
+        build_index(none, f"{tmp}/z0", epoch=0)
+        build_index(none, f"{tmp}/z1", epoch=1)
+        res = merge_indexes(spark, [f"{tmp}/z0", f"{tmp}/z1"], f"{tmp}/zm")
+        assert res.n_docs == 0 and res.avgdl == 0.0
+        assert _results(spark, f"{tmp}/zm") == []
+        # all-empty-text epochs: docs exist, nothing matches
+        blank = docs.filter("doc_id < 10").select(
+            "doc_id", F.lit("").alias("text")
+        )
+        build_index(blank, f"{tmp}/b0", epoch=0)
+        build_index(blank.filter("doc_id < 5"), f"{tmp}/b1", epoch=1)
+        res2 = merge_indexes(spark, [f"{tmp}/b0", f"{tmp}/b1"], f"{tmp}/bm")
+        assert res2.n_docs == 10 and res2.avgdl == 0.0
+        assert _results(spark, f"{tmp}/bm") == []
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_resume_detects_inplace_input_rebuild(spark):
+    """(epoch, n_docs, avgdl) alone cannot see an input rebuilt in place
+    with the SAME aggregate shape (word-swap edits); the marker folds in
+    each input's corpus_stats file signature, so a trusted resume after
+    such a rebuild must refuse instead of skipping every bucket and
+    serving the superseded postings."""
+    docs = _docs(spark).filter(F.col("doc_id") < 30)
+    tmp = tempfile.mkdtemp(prefix="ocs_rebuild_sig_")
+    try:
+        build_index(docs.filter("doc_id % 2 = 0"), f"{tmp}/e0", epoch=0)
+        build_index(docs.filter("doc_id % 2 = 1"), f"{tmp}/e1", epoch=1)
+        merge_indexes(spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m")
+        # In-place rebuild of e1 from the identical corpus: epoch,
+        # n_docs, and avgdl all unchanged — only the file signature
+        # (corpus_stats rewrite, always LAST in a build) moves.
+        build_index(docs.filter("doc_id % 2 = 1"), f"{tmp}/e1", epoch=1)
+        with pytest.raises(ValueError, match="different input set"):
+            merge_indexes(spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
