@@ -5,9 +5,9 @@ views (__spark_entry__ contract).
 The indexed entries run the REAL pipeline (salted build -> compressed
 segments -> block-max WAND) — not a shortcut — with the built index
 cached per (process, sf_dir) so the driver's per-query calls don't
-rebuild. Scores are rounded to 6 dp on BOTH sides and used as the sort
-key so ln()-last-ulp differences between NumPy and DuckDB cannot flip
-the driver's order-insensitive value-hash."""
+rebuild. Scores are rounded to _DP (= 8) dp on BOTH sides and used as
+the sort key so ln()-last-ulp differences between NumPy and DuckDB
+cannot flip the driver's order-insensitive value-hash."""
 
 from __future__ import annotations
 
@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from ..functions import bm25
 from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize
-from ..sources.tables import DERIVED_CACHE_LOCK, table_signature
+from ..sources.tables import (
+    DERIVED_CACHE_LOCK,
+    read_engine_table,
+    table_signature,
+)
 from .build import build_index_from_documents
 from .query import search, search_bruteforce
 
@@ -34,31 +38,38 @@ _INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
 def _cached_root(cache, sf_dir: str, builder) -> str:
     """builder() -> (servable_root, owned_dir); owned_dir is what gets
     retired (deleted at process exit) when the table content changes
-    under the same sf_dir. DERIVED_CACHE_LOCK guards the whole
-    read-check-mutate sequence — same race class _SESSION_LOCK covers
-    in query.py (double-build + leaked mkdtemp on a concurrent miss).
-    Deletion is DEFERRED via retire_derived_root, never inline: a
-    Spark job another driver thread launched from the old root may
-    still be scanning it (see sources.tables._RETIRED_ROOTS)."""
-    from ..sources.tables import retire_derived_root
+    under the same sf_dir. Locking is STRIPED per (cache, sf_dir) —
+    same pattern as query.py's per-root session locks: the global
+    DERIVED_CACHE_LOCK covers only map reads/mutations, so a cold
+    multi-minute builder() cannot head-of-line-block another cache's
+    warm hit, while the per-key lock still guarantees single-build on
+    a concurrent miss (the race class that double-built and leaked the
+    loser's mkdtemp). Deletion is DEFERRED via retire_derived_root,
+    never inline: a Spark job another driver thread launched from the
+    old root may still be scanning it (see
+    sources.tables._RETIRED_ROOTS)."""
+    from ..sources.tables import derived_build_lock, retire_derived_root
 
-    with DERIVED_CACHE_LOCK:
-        sig = table_signature(sf_dir, "documents")
-        hit = cache.get(sf_dir)
-        if hit is not None and hit[0] == sig:
-            return hit[1]
-        if hit is not None:
-            # Release any resident SearchSession for the servable root
-            # and for sibling roots nested under the owned dir
-            # (merged-pages layouts nest epoch indexes + the merged
-            # root) — nothing serves the old root again after this.
-            from .query import release_sessions_under
+    with derived_build_lock((id(cache), sf_dir)):
+        with DERIVED_CACHE_LOCK:
+            sig = table_signature(sf_dir, "documents")
+            hit = cache.get(sf_dir)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+            if hit is not None:
+                # Release any resident SearchSession for the servable
+                # root and for sibling roots nested under the owned dir
+                # (merged-pages layouts nest epoch indexes + the merged
+                # root) — nothing serves the old root again after this.
+                from .query import release_sessions_under
 
-            release_sessions_under(hit[1])
-            release_sessions_under(hit[2])
-            retire_derived_root(hit[2])
+                release_sessions_under(hit[1])
+                release_sessions_under(hit[2])
+                retire_derived_root(hit[2])
+                del cache[sf_dir]
         root, owned = builder()
-        cache[sf_dir] = (sig, root, owned)
+        with DERIVED_CACHE_LOCK:
+            cache[sf_dir] = (sig, root, owned)
         return root
 
 
@@ -225,8 +236,8 @@ def _pages_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the extraction chain reproduced every document (dup rows must carry
     the re-crawled ' updated' suffix -> dl+1)."""
     root = get_pages_index(spark, sf_dir)
-    docmap = spark.read.parquet(f"{root}/docmap").select("doc_id", "url")
-    doclen = spark.read.parquet(f"{root}/doclen")
+    docmap = read_engine_table(spark, f"{root}/docmap").select("doc_id", "url")
+    doclen = read_engine_table(spark, f"{root}/doclen")
     return docmap.join(doclen, "doc_id").select("url", "dl").orderBy("url")
 
 
@@ -301,8 +312,8 @@ def _pages_docmap_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     space past the prior max (n_ids == n_map, max_id == n_map - 1)."""
     root0 = get_pages_index(spark, sf_dir)
     root1 = get_pages_epoch1_index(spark, sf_dir)
-    dm0 = spark.read.parquet(f"{root0}/docmap").select("url", "doc_id")
-    dm1 = spark.read.parquet(f"{root1}/docmap").select("url", "doc_id")
+    dm0 = read_engine_table(spark, f"{root0}/docmap").select("url", "doc_id")
+    dm1 = read_engine_table(spark, f"{root1}/docmap").select("url", "doc_id")
     a0 = dm0.agg(F.count("*").alias("n_prior"))
     a1 = dm1.agg(
         F.count("*").alias("n_map"),
@@ -334,7 +345,7 @@ def _pages_docmap_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docID assignment invariant: ids are DENSE 0..n-1 with no
     collisions (SURVEY §7.4 — hash ids collide at 10^12 urls)."""
     root = get_pages_index(spark, sf_dir)
-    dm = spark.read.parquet(f"{root}/docmap")
+    dm = read_engine_table(spark, f"{root}/docmap")
     return dm.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("doc_id").alias("n_ids"),
@@ -390,7 +401,7 @@ def _pages_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     mroot = get_pages_merged_index(spark, sf_dir)
     root1 = get_pages_epoch1_index(spark, sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    url_of = spark.read.parquet(f"{root1}/docmap").select("doc_id", "url")
+    url_of = read_engine_table(spark, f"{root1}/docmap").select("doc_id", "url")
     out = search(spark, mroot, ["dup again"], k=2 * n_docs).join(
         url_of, "doc_id"
     )
@@ -550,7 +561,7 @@ FROM scores
 def _lineage(spark: SparkSession, root: str, stage: str) -> DataFrame:
     """E13 lineage totals for one stage: postings in, blocks out."""
     return (
-        spark.read.parquet(f"{root}/lineage_metrics")
+        read_engine_table(spark, f"{root}/lineage_metrics")
         .filter(F.col("stage") == stage)
         .groupBy("epoch", "stage")
         .agg(
@@ -593,7 +604,7 @@ def _term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the real index)."""
     root = get_index(spark, sf_dir)
     return (
-        spark.read.parquet(f"{root}/dictionary")
+        read_engine_table(spark, f"{root}/dictionary")
         .select("term", "df", "cf")
         .orderBy("term")
     )
@@ -614,7 +625,7 @@ FROM tf GROUP BY term ORDER BY term
 def _doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: per-document token counts from the engine's doclen table."""
     root = get_index(spark, sf_dir)
-    return spark.read.parquet(f"{root}/doclen").select("doc_id", "dl")
+    return read_engine_table(spark, f"{root}/doclen").select("doc_id", "dl")
 
 
 # LEFT JOIN from documents, not GROUP BY over unnested tokens: the
@@ -633,7 +644,7 @@ LEFT JOIN (SELECT doc_id, count(*) AS dl
 
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = get_index(spark, sf_dir)
-    return spark.read.parquet(f"{root}/corpus_stats").select(
+    return read_engine_table(spark, f"{root}/corpus_stats").select(
         "n_docs", F.round("avgdl", 6).alias("avgdl")
     )
 

@@ -618,11 +618,14 @@ class SearchSession:
             # range-partitioned resident segments. The term IN-list filter
             # is evaluated against cached-batch stats (and against parquet
             # row groups when uncached).
-            plan = []
-            for qid in sorted({q for q, _ in qterms}):
-                tidf = {t: idf_of[t] for q, t in qterms if q == qid and t in idf_of}
-                if tidf:
-                    plan.append((qid, tidf))
+            # One linear pass over qterms, not a rescan per query id —
+            # the old per-qid comprehension was O(Q^2 * T) on the driver
+            # and would dwarf the narrow-stage win at 10k-query batches.
+            by_qid: dict[int, dict[str, float]] = {}
+            for q, t in qterms:
+                if t in idf_of:
+                    by_qid.setdefault(q, {})[t] = idf_of[t]
+            plan = sorted(by_qid.items())
             terms_lit = sorted(idf_of)
             blocks = self._segments.filter(
                 F.col("term_bucket").isin(buckets) & F.col("term").isin(terms_lit)
@@ -670,8 +673,6 @@ class SearchSession:
             # path — measured 0.28 s vs ~0.03 s for a k-row result, and
             # that delta was the single largest share of serving-tier
             # query latency (fixed cost, independent of index size).
-            import pandas as pd
-
             cols: dict[str, np.ndarray] = {
                 "query_id": np.fromiter(
                     (r[0] for r in out), dtype=np.int32, count=len(out)
@@ -739,7 +740,16 @@ def _index_signature(index_root: str, spark: SparkSession | None = None) -> tupl
     corpus_stats last), or the table's latest Iceberg snapshot id when
     the root is catalog-backed (no local files to scan — the `.snapshots`
     metadata table is the canonical Iceberg staleness token and changes
-    on every rewrite)."""
+    on every rewrite).
+
+    When NEITHER token is obtainable (non-scandir-able storage with no
+    catalog, or a catalog whose metadata read fails) the signature is a
+    DISTINCT sentinel per call: a constant () would compare equal
+    across calls and serve a stale cached session FOREVER after an
+    in-place rewrite — the exact staleness this token exists to catch.
+    The cost is honest: search() rebuilds the session on every call for
+    such roots; hold a ``SearchSession`` directly to serve them
+    resident."""
     import os
 
     stats_dir = IndexPaths(index_root).corpus_stats
@@ -764,8 +774,14 @@ def _index_signature(index_root: str, spark: SparkSession | None = None) -> tupl
                 )
                 return ("iceberg-snapshot", row[0])
             except Exception:
-                return ()
-    return ()
+                return ("unverifiable", next(_SIG_UNVERIFIABLE))
+    return ("unverifiable", next(_SIG_UNVERIFIABLE))
+
+
+# Monotonic counter for the unverifiable-staleness sentinel above.
+import itertools
+
+_SIG_UNVERIFIABLE = itertools.count()
 
 
 def release_sessions_under(path: str) -> None:
@@ -865,7 +881,6 @@ def search_bruteforce(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -880,8 +895,18 @@ def search_bruteforce(
         )
     qdf = spark.createDataFrame(qrows, "query_id int, term string")
 
+    # df for the QUERY terms only, from the term-filtered tf (identical
+    # values — df is a per-term corpus count either way): broadcasting a
+    # full-vocabulary dfreq ships the entire dictionary to every
+    # executor and outgrows the broadcast limit on a large corpus, when
+    # only |query terms| rows are ever joined. Filter BEFORE attaching
+    # query_id — the qdf join would duplicate a term shared by several
+    # queries and inflate its df.
+    tfq = tf.filter(F.col("term").isin(sorted({t for _, t in qrows})))
+    dfreq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+
     scored = (
-        tf.join(F.broadcast(qdf), "term")
+        tfq.join(F.broadcast(qdf), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(

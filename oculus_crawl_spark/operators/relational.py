@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.analysis import TOKENIZE_ORACLE_REGEX as _TOK_RE
 from ..sources.tables import read_table
 
 
@@ -490,7 +491,15 @@ def q_rollup_cube(spark, sf_dir):
         e.rollup("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.sum("value"), 2).alias("val"),
+            # Routed through DECIMAL like the cube branch: the grand-
+            # total row sums ~all rows of `value` in partition order vs
+            # DuckDB's serial order, and a raw double sum landing within
+            # FP error of a 0.005 boundary would round to different 2-dp
+            # values nondeterministically. Both engines cast the SAME
+            # doubles to DECIMAL(38,9) first, so the sum is exact.
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,9)")).cast("double"), 2
+            ).alias("val"),
         )
         .select(
             F.lit("rollup").alias("mode"),
@@ -525,7 +534,8 @@ def q_rollup_cube(spark, sf_dir):
 
 SQL_ROLLUP_CUBE = """
 SELECT 'rollup' AS mode, event_type AS g1, NULL::VARCHAR AS g2,
-       count(*) AS n, round(sum(value), 2) AS val
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 2) AS val
 FROM events GROUP BY ROLLUP (event_type)
 UNION ALL
 SELECT 'cube', l_returnflag, l_linestatus,
@@ -689,16 +699,25 @@ def q_array_funcs(spark, sf_dir):
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.array_contains(toks, "dup").cast("int").alias("has_dup"),
-        F.element_at(F.array_sort(toks), 1).alias("first_token"),
+        # F.get (0-based), NOT element_at(.., 1): under Spark 4's
+        # default ANSI mode element_at THROWS on an empty array, while
+        # the DuckDB oracle's list[1] yields NULL — a zero-token doc
+        # (dl=0 is a supported corpus shape) must be NULL on both sides.
+        F.get(F.array_sort(toks), 0).alias("first_token"),
     ).orderBy("doc_id")
 
 
-SQL_ARRAY_FUNCS = """
+# The oracle regex is interpolated from the ONE frozen spec
+# (TOKENIZE_ORACLE_REGEX, imported at module top), like every fulltext
+# oracle: a tokenizer spec bump must reach this entry too, not silently
+# grade against the old pattern (the Spark side above already shares
+# tokenize_expr).
+SQL_ARRAY_FUNCS = f"""
 SELECT doc_id,
-       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
-       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_unique,
-       CAST(list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'dup') AS INT) AS has_dup,
-       list_sort(regexp_extract_all(lower(text), '[a-z0-9]+'))[1] AS first_token
+       len(regexp_extract_all(lower(text), '{_TOK_RE}')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{_TOK_RE}'))) AS n_unique,
+       CAST(list_contains(regexp_extract_all(lower(text), '{_TOK_RE}'), 'dup') AS INT) AS has_dup,
+       list_sort(regexp_extract_all(lower(text), '{_TOK_RE}'))[1] AS first_token
 FROM documents ORDER BY doc_id
 """
 

@@ -532,22 +532,31 @@ def q_ann_ivf(spark, sf_dir):
     import tempfile
 
     emb = _emb(spark, sf_dir)
-    # Same read-check-mutate lock discipline as the fulltext derived-
-    # index caches (and query._SESSION_CACHE): concurrent driver threads
-    # must not double-build, and a stale root is RETIRED (deleted at
-    # process exit), never rmtree'd inline — another thread's probe job
-    # may still be scanning its cell files.
-    from ..sources.tables import DERIVED_CACHE_LOCK, retire_derived_root
+    # Same striped lock discipline as the fulltext derived-index caches
+    # (and query._SESSION_CACHE): the per-key lock keeps a concurrent
+    # miss single-build without the global lock spanning ivf_write's
+    # Spark jobs; a stale root is RETIRED (deleted at process exit),
+    # never rmtree'd inline — another thread's probe job may still be
+    # scanning its cell files.
+    from ..sources.tables import (
+        DERIVED_CACHE_LOCK,
+        derived_build_lock,
+        retire_derived_root,
+    )
 
-    with DERIVED_CACHE_LOCK:
-        sig = table_signature(sf_dir, "embeddings")
-        hit = _IVF_CACHE.get(sf_dir)
-        if hit is None or hit[0] != sig:
-            if hit is not None:
+    with derived_build_lock((id(_IVF_CACHE), sf_dir)):
+        with DERIVED_CACHE_LOCK:
+            sig = table_signature(sf_dir, "embeddings")
+            hit = _IVF_CACHE.get(sf_dir)
+            if hit is not None and hit[0] != sig:
                 retire_derived_root(hit[1])
+                del _IVF_CACHE[sf_dir]
+                hit = None
+        if hit is None:
             path = tempfile.mkdtemp(prefix="ocs_ivf_")
             ivf_write(emb, path)
-            _IVF_CACHE[sf_dir] = (sig, path)
+            with DERIVED_CACHE_LOCK:
+                _IVF_CACHE[sf_dir] = (sig, path)
         else:
             path = hit[1]
     probes = emb.filter(F.col("vec_id") < N_PROBE_IDS)

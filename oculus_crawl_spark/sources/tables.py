@@ -76,6 +76,25 @@ def retire_derived_root(path: str) -> None:
         _RETIRED_ROOTS.append(path)
 
 
+# Per-key build locks (lock striping, same pattern as query._ROOT_LOCKS):
+# a derived-index BUILD runs minutes of Spark jobs, and holding the
+# global DERIVED_CACHE_LOCK across it would make one cold build
+# head-of-line-block every other cache's warm hit. The global lock
+# guards only map reads/mutations (and this stripe map); the per-key
+# lock serializes the build of one (cache, sf_dir). RLock because the
+# merged-pages builder re-enters sibling get_* (different keys — the
+# RLock additionally makes accidental same-key re-entry safe).
+_BUILD_LOCKS: dict = {}
+
+
+def derived_build_lock(key):
+    with DERIVED_CACHE_LOCK:
+        lock = _BUILD_LOCKS.get(key)
+        if lock is None:
+            lock = _BUILD_LOCKS[key] = threading.RLock()
+        return lock
+
+
 def table_signature(sf_dir: str, name: str) -> tuple:
     """Content staleness token for one testdata table (file names +
     mtimes): the single source of truth for every derived-index cache
