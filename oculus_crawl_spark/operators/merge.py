@@ -375,13 +375,17 @@ def merge_indexes(
     # OLD committed segments. Each input's corpus_stats file listing +
     # mtimes (query._index_signature — every build/merge rewrites
     # corpus_stats LAST, so ANY rebuild changes it) is therefore folded
-    # in; on non-local roots it degrades to () and the aggregate triple
+    # in. The STABLE variant is load-bearing: the raw serving-side
+    # signature returns a distinct per-call sentinel for unverifiable
+    # roots, which can never reproduce across restarts — every resume
+    # would see a "different input set" and refuse. For such roots the
+    # signature collapses to a constant and the aggregate triple
     # remains the guard.
-    from .query import _index_signature
+    from .query import index_signature_stable
 
     inputs_sig = repr(sorted(
         (int(s["epoch"]), int(s["n_docs"]), float(s["avgdl"]),
-         _index_signature(p.root))
+         index_signature_stable(p.root))
         for s, p in zip(stats, inputs)
     ))
     marker_path = f"{out.root}/merge_inputs"

@@ -42,14 +42,17 @@ def clean_corpus(
     of surviving copies collapsed into it."""
     toks = _toks(F.col("text"))
     n = F.size(toks)
-    uniq = F.size(F.array_distinct(toks)) / n
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(EN_STOP))) / n
+    # greatest(n, 1) everywhere a ratio divides by the token count: a
+    # zero-token doc must score a defined 0.0, not crash ANSI division
+    # (same contract as the single-operator entries in textquality.py).
+    ng = F.greatest(n, F.lit(1))
+    uniq = F.size(F.array_distinct(toks)) / ng
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(EN_STOP))) / ng
     quality = (
         F.when((n >= 20) & (n <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.least(uniq, F.lit(0.5)) * 0.6
         + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2
     )
-    ng = F.greatest(n, F.lit(1))
     ratios = {
         lang: F.size(F.filter(toks, lambda x: x.isin(words))) / ng
         for lang, words in _LANGS
@@ -118,7 +121,7 @@ t AS (
 ),
 m AS (
   SELECT doc_id, fp, len(toks) AS n_tokens,
-         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq,
+         len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS uniq,
          {_sql_ratio(EN_STOP)} AS r_en,
          {_sql_ratio(DE_STOP)} AS r_de,
          {_sql_ratio(FR_STOP)} AS r_fr,

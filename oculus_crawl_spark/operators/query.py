@@ -784,6 +784,24 @@ import itertools
 _SIG_UNVERIFIABLE = itertools.count()
 
 
+def index_signature_stable(index_root: str) -> tuple:
+    """``_index_signature`` for REPRODUCIBLE fingerprints (the merge
+    resume marker): the per-call unverifiable sentinel collapses to a
+    constant. A marker folds this value into a string that must compare
+    EQUAL across process restarts for the same on-disk state — with the
+    per-call sentinel, resuming a crashed merge whose INPUT roots are
+    unverifiable would always see a "different input set" and brick the
+    exact recovery path the marker protects. Degraded mode is honest and
+    documented at the call site: for such roots the caller's other
+    marker fields (epoch, n_docs, avgdl) remain the only rebuild guard.
+    The serving cache must keep using ``_index_signature`` directly —
+    there the per-call sentinel is the point (never serve stale)."""
+    sig = _index_signature(index_root)
+    if sig and sig[0] == "unverifiable":
+        return ("unverifiable",)
+    return sig
+
+
 def release_sessions_under(path: str) -> None:
     """Invalidate and drop every cached ``SearchSession`` whose index
     root IS ``path`` or lives under it — for callers about to delete or

@@ -31,19 +31,26 @@ def _toks(col):
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc token statistics: counts, uniqueness, mean token length."""
+    """Per-doc token statistics: counts, uniqueness, mean token length.
+
+    Ratio denominators are ``greatest(n, 1)``: a zero-token document
+    (empty text, punctuation-only crawl junk) must yield defined 0.0
+    ratios, not a DIVIDE_BY_ZERO crash under Spark 4's default ANSI
+    mode (nor a NULL on the DuckDB side — the oracles coalesce the same
+    way, pinned by the zero-token edge-case test)."""
     toks = _toks(F.col("text"))
     n = F.size(toks)
+    ng = F.greatest(n, F.lit(1))
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("uniq_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / ng, 6).alias("uniq_ratio"),
         F.round(
             F.aggregate(
                 toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
             )
-            / n,
+            / ng,
             6,
         ).alias("mean_token_len"),
         F.length("text").alias("n_chars"),
@@ -56,9 +63,10 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     dedup/model scoring in a webtext pipeline."""
     toks = _toks(F.col("text"))
     n = F.size(toks)
-    uniq = F.size(F.array_distinct(toks)) / n
+    ng = F.greatest(n, F.lit(1))  # zero-token docs: defined 0.0, no ANSI crash
+    uniq = F.size(F.array_distinct(toks)) / ng
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(EN_STOP)))
-    stop_ratio = stop_hits / n
+    stop_ratio = stop_hits / ng
     len_ok = (n >= 20) & (n <= 1000)
     score = (
         F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
@@ -131,8 +139,8 @@ WITH t AS (
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_unique,
-       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS uniq_ratio,
-       round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6) AS mean_token_len,
+       round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS uniq_ratio,
+       round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len,
        n_chars
 FROM t ORDER BY doc_id
 """
@@ -151,8 +159,8 @@ WITH t AS (
 m AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
-         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq,
-         len(list_filter(toks, x -> x IN ({_EN_LIST}))) * 1.0 / len(toks) AS stop_ratio
+         len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS uniq,
+         len(list_filter(toks, x -> x IN ({_EN_LIST}))) * 1.0 / greatest(len(toks), 1) AS stop_ratio
   FROM t
 )
 SELECT doc_id, n_tokens,

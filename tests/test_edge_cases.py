@@ -87,3 +87,65 @@ def test_fast_path_requires_cached_session(spark, tmp_root):
         sess.search(["a"], k=5, path="fast")
     # the shuffle path still works uncached
     assert len(sess.search(["a"], k=5).collect()) == 2
+
+
+def test_zero_token_docs_match_oracle(spark):
+    """Zero-token documents (empty / punctuation-only text) through the
+    text-analysis operators: must yield defined 0.0 ratios — not a
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode — and must agree
+    with the DuckDB oracle SQL on the same rows (the oracle's bare
+    ``x / len(toks)`` used to NULL where Spark crashed: a doc the
+    engine scores that the oracle drops, or vice versa)."""
+    import duckdb
+    import pandas as pd
+
+    from oculus_crawl_spark.operators import pipeline, textquality
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["", "!!! ???", "the quick brown fox jumps over the dog"],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    def normalize(rows, cols):
+        out = []
+        for row in rows:
+            vals = []
+            for c in sorted(cols):
+                v = row[c] if isinstance(row, dict) else row[cols.index(c)]
+                if isinstance(v, float):
+                    v = round(v, 6)
+                vals.append(str(v))
+            out.append(tuple(vals))
+        return sorted(out)
+
+    cases = [
+        (textquality.token_stats(docs), textquality.SQL_TOKEN_STATS),
+        (textquality.quality_scores(docs), textquality.SQL_QUALITY),
+        (textquality.lang_id(docs), textquality.SQL_LANG_ID),
+    ]
+    for sdf, sql in cases:
+        got = normalize([r.asDict() for r in sdf.collect()], sdf.columns)
+        res = con.execute(sql)
+        duck_cols = [d[0] for d in res.description]
+        exp = normalize(res.fetchall(), duck_cols)
+        assert sorted(sdf.columns) == sorted(duck_cols)
+        assert got == exp, (sql[:60], got, exp)
+
+    # The fused pipeline survives zero-token rows and agrees with its
+    # oracle (which unions a shifted copy — clean_corpus mirrors that).
+    two = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (docs.doc_id + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    sdf = pipeline.clean_corpus(two).orderBy("doc_id")
+    got = normalize([r.asDict() for r in sdf.collect()], sdf.columns)
+    res = con.execute(pipeline._sql())
+    exp = normalize(res.fetchall(), [d[0] for d in res.description])
+    assert got == exp

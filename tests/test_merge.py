@@ -546,3 +546,45 @@ def test_merge_resume_detects_inplace_input_rebuild(spark):
             merge_indexes(spark, [f"{tmp}/e0", f"{tmp}/e1"], f"{tmp}/m")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_resume_survives_unverifiable_input_signatures(
+    spark, monkeypatch
+):
+    """The resume marker folds each input's staleness signature in — but
+    the SERVING-side signature returns a distinct per-call sentinel for
+    unverifiable roots (non-scandir-able storage, no catalog). The marker
+    must use the STABLE collapse: with the raw sentinel, re-merging the
+    SAME inputs into the same root would always read as 'different input
+    set' and brick the crash-recovery path the marker exists for."""
+    from oculus_crawl_spark.operators import query as qmod
+
+    # Direct contract: per-call sentinel vs stable constant.
+    a = qmod._index_signature("/nonexistent/ocs_unverifiable")
+    b = qmod._index_signature("/nonexistent/ocs_unverifiable")
+    assert a[0] == "unverifiable" and a != b
+    assert qmod.index_signature_stable(
+        "/nonexistent/ocs_unverifiable"
+    ) == qmod.index_signature_stable("/nonexistent/ocs_unverifiable")
+
+    # End-to-end: simulate object-store inputs (every signature read
+    # unverifiable) and resume the same input set twice.
+    tmp = tempfile.mkdtemp(prefix="ocs_unver_")
+    try:
+        docs = _docs(spark)
+        build_index(docs.filter(F.col("doc_id") % 2 == 0), f"{tmp}/ep0", epoch=0)
+        build_index(docs.filter(F.col("doc_id") % 2 == 1), f"{tmp}/ep1", epoch=1)
+
+        def unverifiable(index_root, spark=None):
+            return ("unverifiable", next(qmod._SIG_UNVERIFIABLE))
+
+        monkeypatch.setattr(qmod, "_index_signature", unverifiable)
+        inputs = [f"{tmp}/ep0", f"{tmp}/ep1"]
+        merge_indexes(spark, inputs, f"{tmp}/merged")
+        # Same inputs, resume=True: must NOT refuse (degraded guard =
+        # the epoch/n_docs/avgdl triple), and must serve identically.
+        before = _results(spark, f"{tmp}/merged")
+        merge_indexes(spark, inputs, f"{tmp}/merged")
+        assert _results(spark, f"{tmp}/merged") == before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
