@@ -104,7 +104,10 @@ def main() -> None:
         # external-load hiccup otherwise defines p95 (observed 0.6 s ->
         # 4.7 s spread for the SAME query in one suite). The min is the
         # code's cost; the host's noise is not the plan's latency.
-        trials = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
+        # Floor at 1: trials<=0 would leave every latency at inf and
+        # json.dumps would emit the non-JSON token Infinity, breaking
+        # the one-JSON-line driver contract.
+        trials = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3")))
         latencies: list[float] = []
         for i, q in enumerate(queries):
             slug = re.sub(r"[^a-z0-9]+", "_", q.lower()).strip("_")[:24]

@@ -18,11 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bm25
 from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize
-from ..sources.tables import (
-    DERIVED_CACHE_LOCK,
-    read_engine_table,
-    table_signature,
-)
+from ..sources.tables import read_engine_table, table_signature
 from .build import build_index_from_documents
 from .query import search, search_bruteforce
 
@@ -36,41 +32,23 @@ _INDEX_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def _cached_root(cache, sf_dir: str, builder) -> str:
-    """builder() -> (servable_root, owned_dir); owned_dir is what gets
-    retired (deleted at process exit) when the table content changes
-    under the same sf_dir. Locking is STRIPED per (cache, sf_dir) —
-    same pattern as query.py's per-root session locks: the global
-    DERIVED_CACHE_LOCK covers only map reads/mutations, so a cold
-    multi-minute builder() cannot head-of-line-block another cache's
-    warm hit, while the per-key lock still guarantees single-build on
-    a concurrent miss (the race class that double-built and leaked the
-    loser's mkdtemp). Deletion is DEFERRED via retire_derived_root,
-    never inline: a Spark job another driver thread launched from the
-    old root may still be scanning it (see
-    sources.tables._RETIRED_ROOTS)."""
-    from ..sources.tables import derived_build_lock, retire_derived_root
+    """builder() -> (servable_root, owned_dir). Thin binding of the
+    shared ``sources.tables.cached_derived_root`` protocol (striped
+    build lock, content-signature staleness, retire-not-delete) to the
+    fulltext caches: signature = the documents table, retire hook =
+    release any resident SearchSession for the servable root AND for
+    sibling roots nested under the owned dir (merged-pages layouts nest
+    epoch indexes + the merged root)."""
+    from ..sources.tables import cached_derived_root
+    from .query import release_sessions_under
 
-    with derived_build_lock((id(cache), sf_dir)):
-        with DERIVED_CACHE_LOCK:
-            sig = table_signature(sf_dir, "documents")
-            hit = cache.get(sf_dir)
-            if hit is not None and hit[0] == sig:
-                return hit[1]
-            if hit is not None:
-                # Release any resident SearchSession for the servable
-                # root and for sibling roots nested under the owned dir
-                # (merged-pages layouts nest epoch indexes + the merged
-                # root) — nothing serves the old root again after this.
-                from .query import release_sessions_under
-
-                release_sessions_under(hit[1])
-                release_sessions_under(hit[2])
-                retire_derived_root(hit[2])
-                del cache[sf_dir]
-        root, owned = builder()
-        with DERIVED_CACHE_LOCK:
-            cache[sf_dir] = (sig, root, owned)
-        return root
+    return cached_derived_root(
+        cache,
+        sf_dir,
+        lambda: table_signature(sf_dir, "documents"),
+        builder,
+        on_retire=release_sessions_under,
+    )
 
 
 def ensure_conf(spark: SparkSession) -> None:

@@ -83,6 +83,9 @@ def q_agg_pricing_summary(spark, sf_dir):
                 )
             ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
+            # Raw double avg is DETERMINISTIC here, no decimal needed:
+            # l_quantity is integral-valued (TPC-H 1..50; fixture-
+            # verified), so the double sum is exact in any order.
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -795,7 +798,14 @@ def q_sessionize(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            # DECIMAL routing like the rollup val: `value` is a true
+            # double, and a raw double sum's partition order vs DuckDB's
+            # serial order can land within FP error of a 0.00005
+            # boundary and round differently. Both engines cast the
+            # SAME doubles to DECIMAL(38,9) first, so the sum is exact.
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,9)")).cast("double"), 4
+            ).alias("session_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -818,7 +828,7 @@ sessions AS (
 )
 SELECT user_id, session_seq, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       round(sum(value), 4) AS session_value
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 4) AS session_value
 FROM sessions GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """

@@ -84,17 +84,23 @@ def cosine_topk_bruteforce(
 
     probes must be small (broadcast); norms are computed once per side
     before the join so the O(N·Q) inner loop is one fused multiply-add
-    chain in codegen."""
+    chain in codegen.
+
+    Zero-norm vectors are EXCLUDED on both sides (cosine has no defined
+    value for a vector with no direction): under Spark 4's default ANSI
+    mode the division would otherwise throw DIVIDE_BY_ZERO for the
+    whole job, where the DuckDB oracle NULL-propagates — the oracles
+    mirror the exclusion (WHERE nrm > 0)."""
     base = emb.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_emb"),
         _norm(F.col("embedding")).alias("n_norm"),
-    )
+    ).filter(F.col("n_norm") > 0)
     q = probes.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     scored = (
         base.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
@@ -128,6 +134,14 @@ def _train_centroids(emb: DataFrame, n_cells: int) -> "np.ndarray":
         emb.orderBy("vec_id").limit(_KMEANS_SAMPLE).select("embedding").collect()
     )
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    if not len(X):
+        raise ValueError(
+            "cannot train an IVF quantizer on an empty embeddings table"
+        )
+    # Clamp to the sample: n_cells > sample size would make rng.choice
+    # raise an opaque numpy error; callers read the effective count from
+    # the returned centroid matrix (len(C)).
+    n_cells = min(n_cells, len(X))
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(_KMEANS_SEED)
     C = X[rng.choice(len(X), n_cells, replace=False)].copy()
@@ -157,10 +171,16 @@ def ivf_build(
     import numpy as np
     import pandas as pd
 
+    # Zero-norm vectors have no direction: they cannot be assigned to a
+    # max-cosine cell (the normalize would ANSI-throw / NaN in numpy)
+    # and no probe could ever retrieve them by cosine — excluded here,
+    # mirroring the query paths' exclusion.
+    emb = emb.filter(_norm(F.col("embedding")) > 0)
     if n_cells is None:
         n_cells = derive_n_cells(emb.count())
 
     C = _train_centroids(emb, n_cells)
+    n_cells = len(C)  # _train_centroids clamps to its sample size
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     bc = emb.sparkSession.sparkContext.broadcast(Cn)
 
@@ -176,6 +196,13 @@ def ivf_build(
 
     assignments = emb.select("vec_id", "embedding").mapInPandas(
         assign_batches, "vec_id long, embedding array<float>, cell int"
+    ).withColumn(
+        # Vector norms are a pure function of the immutable indexed
+        # vectors — computed ONCE here (and persisted by ivf_write), so
+        # probes never re-pay an O(scanned_rows x dim) norm aggregate
+        # per query. Same JVM fold as the query-side _norm expression,
+        # so stored and recomputed values are bit-identical.
+        "nrm", _norm(F.col("embedding"))
     )
     rows = [(int(i), [float(x) for x in C[i]]) for i in range(n_cells)]
     centroids = emb.sparkSession.createDataFrame(
@@ -188,10 +215,8 @@ def ivf_write(
     emb: DataFrame, index_path: str, n_cells: int | None = None
 ) -> int:
     """Persist the IVF index: ``assignments`` PARTITIONED BY cell (the
-    probe path prunes to its nprobe cells' files) + ``centroids``.
-    Returns the resolved cell count."""
-    if n_cells is None:
-        n_cells = derive_n_cells(emb.count())
+    probe path prunes to its nprobe cells' files, with per-vector norms
+    stored alongside) + ``centroids``. Returns the resolved cell count."""
     assignments, centroids = ivf_build(emb, n_cells)
     # Through the Iceberg-or-Parquet shim, NOT a raw partitioned write:
     # write_table pins static partition-overwrite, so a rewrite into a
@@ -204,7 +229,9 @@ def ivf_write(
 
     write_table(assignments, f"{index_path}/assignments", ["cell"])
     write_table(centroids, f"{index_path}/centroids")
-    return n_cells
+    # EFFECTIVE cell count (ivf_build clamps to its training sample):
+    # the centroid frame is n_cells local rows, so this count is free.
+    return centroids.count()
 
 
 def ivf_topk_indexed(
@@ -238,7 +265,10 @@ def ivf_topk_indexed(
     routes = []
     for r in probes.select("vec_id", "embedding").collect():  # probes are small
         x = np.asarray(r["embedding"], dtype=np.float64)
-        cos = (x / np.linalg.norm(x)) @ Cn.T
+        nx = np.linalg.norm(x)
+        if nx == 0.0:
+            continue  # zero-norm probe: excluded (no defined cosine)
+        cos = (x / nx) @ Cn.T
         order = np.lexsort((np.arange(n_cells), -cos))  # cosine DESC, cell ASC
         routes.extend((int(r["vec_id"]), int(c)) for c in order[:nprobe])
     if not routes:
@@ -254,14 +284,16 @@ def ivf_topk_indexed(
             "cell",
             F.col("vec_id").alias("n_id"),
             F.col("embedding").alias("n_emb"),
-            _norm(F.col("embedding")).alias("n_norm"),
+            # Stored at write time (ivf_build) — never recomputed per
+            # probe query over the scanned cells.
+            F.col("nrm").alias("n_norm"),
         )
     )
     q = probes.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)  # zero-norm probes: no defined cosine
     scored = (
         base.join(F.broadcast(probe_cells), "cell")
         .join(F.broadcast(q), "q_id")
@@ -302,7 +334,7 @@ def ivf_topk(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)  # zero-norm probes: no defined cosine
     cent = centroids.select(
         "cell",
         F.col("centroid").alias("c_emb"),
@@ -332,7 +364,7 @@ def ivf_topk(
         "cell",
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_emb"),
-        _norm(F.col("embedding")).alias("n_norm"),
+        F.col("nrm").alias("n_norm"),  # computed once in ivf_build
     )
     scored = (
         base.join(F.broadcast(probe_cells), "cell")
@@ -437,7 +469,7 @@ def embedding_near_dup_pairs(
         "vec_id",
         F.col("embedding").alias("e"),
         _norm(F.col("embedding")).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm: no defined cosine (ANSI-safe)
     return (
         cand.join(
             v.select(
@@ -502,9 +534,13 @@ def q_ann_bruteforce(spark, sf_dir):
 
 SQL_ANN_BRUTEFORCE = f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+  -- nrm > 0 mirrors the engine's zero-norm exclusion (cosine has no
+  -- defined value for a direction-less vector; Spark ANSI would throw).
+  SELECT vec_id, e, nrm FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+  ) WHERE nrm > 0
 ),
 q AS (SELECT vec_id AS q_id, e AS q_e, nrm AS q_nrm FROM v WHERE vec_id < {N_PROBE_IDS}),
 scored AS (
@@ -522,43 +558,35 @@ ORDER BY q_id, rank
 """
 
 
-_IVF_CACHE: dict[str, tuple[tuple, str]] = {}
+# (signature, servable_root, owned_dir) per sf_dir — the shared
+# cached_derived_root value shape (root == owned here).
+_IVF_CACHE: dict[str, tuple[tuple, str, str]] = {}
 
 
 def q_ann_ivf(spark, sf_dir):
     """Driver entry runs the REAL architecture: write the cell-
     partitioned index once per (process, sf_dir, table content), probe
-    via the pruned scan path."""
+    via the pruned scan path. Cache lifecycle (striped build lock,
+    content-signature staleness, retire-not-delete) is the ONE shared
+    ``cached_derived_root`` protocol — a hand-rolled copy here drifted
+    from the fulltext caches once (the retire-not-delete fix)."""
     import tempfile
 
-    emb = _emb(spark, sf_dir)
-    # Same striped lock discipline as the fulltext derived-index caches
-    # (and query._SESSION_CACHE): the per-key lock keeps a concurrent
-    # miss single-build without the global lock spanning ivf_write's
-    # Spark jobs; a stale root is RETIRED (deleted at process exit),
-    # never rmtree'd inline — another thread's probe job may still be
-    # scanning its cell files.
-    from ..sources.tables import (
-        DERIVED_CACHE_LOCK,
-        derived_build_lock,
-        retire_derived_root,
-    )
+    from ..sources.tables import cached_derived_root
 
-    with derived_build_lock((id(_IVF_CACHE), sf_dir)):
-        with DERIVED_CACHE_LOCK:
-            sig = table_signature(sf_dir, "embeddings")
-            hit = _IVF_CACHE.get(sf_dir)
-            if hit is not None and hit[0] != sig:
-                retire_derived_root(hit[1])
-                del _IVF_CACHE[sf_dir]
-                hit = None
-        if hit is None:
-            path = tempfile.mkdtemp(prefix="ocs_ivf_")
-            ivf_write(emb, path)
-            with DERIVED_CACHE_LOCK:
-                _IVF_CACHE[sf_dir] = (sig, path)
-        else:
-            path = hit[1]
+    emb = _emb(spark, sf_dir)
+
+    def build():
+        path = tempfile.mkdtemp(prefix="ocs_ivf_")
+        ivf_write(emb, path)
+        return path, path
+
+    path = cached_derived_root(
+        _IVF_CACHE,
+        sf_dir,
+        lambda: table_signature(sf_dir, "embeddings"),
+        build,
+    )
     probes = emb.filter(F.col("vec_id") < N_PROBE_IDS)
     return ivf_topk_indexed(spark, path, probes).orderBy("q_id", "rank")
 
@@ -577,7 +605,10 @@ blend AS (
   FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
 ),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM blend),
-v AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM corpus)
+-- nrm > 0 mirrors the engine's zero-norm exclusion (see SQL_ANN_BRUTEFORCE).
+v AS (SELECT * FROM (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM corpus
+) WHERE nrm > 0)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id

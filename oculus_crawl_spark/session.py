@@ -56,7 +56,13 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = 32
+        # "~ cores", with a floor of 32: a local[128] session would
+        # otherwise cap every shuffle stage at 32 tasks and idle 96
+        # cores (AQE coalesces, never widens). Non-local / local[*]
+        # masters keep the fixed default — executor counts are the
+        # cluster manager's knowledge, not this builder's.
+        m = re.fullmatch(r"local\[(\d+)\]", master)
+        shuffle_partitions = max(32, int(m.group(1))) if m else 32
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -95,6 +95,34 @@ def derived_build_lock(key):
         return lock
 
 
+def cached_derived_root(cache, key, signature, builder, on_retire=None):
+    """ONE implementation of the derived-index cache protocol (fulltext
+    roots, IVF): striped per-key build lock (the global lock never spans
+    a multi-minute builder), content-signature staleness, retire-not-
+    delete for superseded roots. ``signature`` is a zero-arg callable
+    (re-evaluated under the global lock); ``builder`` returns
+    (servable_root, owned_dir); ``on_retire`` (e.g. the session-cache
+    release) runs on both before the owned dir is retired. Two hand-
+    rolled copies of this protocol drifted once already — the
+    retire-not-delete fix reached one and not the other."""
+    with derived_build_lock((id(cache), key)):
+        with DERIVED_CACHE_LOCK:
+            sig = signature()
+            hit = cache.get(key)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+            if hit is not None:
+                if on_retire is not None:
+                    on_retire(hit[1])
+                    on_retire(hit[2])
+                retire_derived_root(hit[2])
+                del cache[key]
+        root, owned = builder()
+        with DERIVED_CACHE_LOCK:
+            cache[key] = (sig, root, owned)
+        return root
+
+
 def table_signature(sf_dir: str, name: str) -> tuple:
     """Content staleness token for one testdata table (file names +
     mtimes): the single source of truth for every derived-index cache
@@ -126,11 +154,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _iceberg_catalog(spark: SparkSession) -> str | None:
-    """Name of a configured Iceberg catalog, if any."""
+    """Name of a configured Iceberg catalog, if any.
+
+    Matches ONLY the catalog-defining key ``spark.sql.catalog.<name>``
+    (whose value is the Iceberg SparkCatalog class): a real deployment
+    also sets sub-keys like ``spark.sql.catalog.<name>.warehouse=
+    /data/iceberg/wh`` whose VALUES can contain 'iceberg' too, and
+    getAll() order is arbitrary — matching a sub-key first yielded the
+    nonsense identifier '<name>.warehouse' and broke every table the
+    shim writes. Sorted so multiple configured catalogs resolve
+    deterministically."""
+    names = []
     for key, value in spark.sparkContext.getConf().getAll():
-        if key.startswith("spark.sql.catalog.") and "iceberg" in value.lower():
-            return key.split(".", 3)[3]
-    return None
+        if not key.startswith("spark.sql.catalog."):
+            continue
+        name = key[len("spark.sql.catalog."):]
+        if "." not in name and "iceberg" in value.lower():
+            names.append(name)
+    return min(names) if names else None
 
 
 def write_table(

@@ -29,15 +29,21 @@ TABLES = [
 
 
 def canon(v):
+    # Every value canonicalizes to a TUPLE whose first element is a str:
+    # a bare None/str next to ("f", x) in the same column position makes
+    # sorted() compare str against tuple and crash the whole run instead
+    # of printing FAIL for the one entry (nullable numeric columns).
     if isinstance(v, bool):
-        return v
+        return ("b", v)
+    if v is None:
+        return ("none",)
     if isinstance(v, Decimal):
         return ("dec", round(float(v), 6))
     if isinstance(v, float):
         return ("f", round(v, 6))
     if isinstance(v, int):
         return ("i", v)
-    return str(v)
+    return ("s", str(v))
 
 
 def typ(v):
@@ -72,7 +78,14 @@ def main() -> None:
         scols = sdf.columns
         srows = sdf.collect()
         if name not in osql:
-            print(f"{name}: NO_ORACLE rows={len(srows)}")
+            # The real driver's rows-only check still requires rows: an
+            # empty result from a rows-only entry is a regression this
+            # simulator must fail on, not print past.
+            if not srows:
+                n_bad += 1
+                print(f"{name}: FAIL (NO_ORACLE, 0 rows)")
+            else:
+                print(f"{name}: NO_ORACLE rows={len(srows)}")
             continue
         cur = con.execute(osql[name])
         ocols = [d[0] for d in cur.description]

@@ -548,3 +548,64 @@ def test_media_features_null_raises_even_when_guard_pruned(spark):
     assert sorted(map(tuple, multimodal.extract_media_features(ok).collect())) \
         == sorted(map(tuple, multimodal.extract_media_features(
             ok, decoder=lambda b, _t: b).collect()))
+
+
+def test_zero_norm_vectors_excluded_not_crashed(spark):
+    """A zero embedding vector has no defined cosine: under Spark 4's
+    default ANSI mode the norm division would throw DIVIDE_BY_ZERO for
+    the whole job (the DuckDB oracle NULL-propagates instead) — the
+    engine must EXCLUDE such vectors on every cosine surface, and the
+    oracles mirror the exclusion, so both sides agree on a corpus that
+    contains one."""
+    import duckdb
+
+    dim = 8
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.standard_normal(dim)] for _ in range(6)]
+    vecs[3] = [0.0] * dim  # the direction-less vector
+    pdf = pd.DataFrame({"vec_id": range(6), "embedding": vecs})
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in zip(pdf["vec_id"], pdf["embedding"])],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.filter(F.col("vec_id") < 4)  # includes the zero vector
+
+    # Brute force: runs, excludes vec 3 as neighbor AND as probe.
+    rows = similarity.cosine_topk_bruteforce(emb, probes, k=3).collect()
+    assert rows and all(r["n_id"] != 3 for r in rows)
+    assert all(r["q_id"] != 3 for r in rows)
+
+    # Near-dup pairs: runs; no pair involves vec 3.
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.0).collect()
+    assert pairs and all(3 not in (r["a_id"], r["b_id"]) for r in pairs)
+
+    # IVF: builds and probes without crashing; vec 3 never assigned.
+    assignments, _cent = similarity.ivf_build(emb, n_cells=2)
+    assert all(r["vec_id"] != 3 for r in assignments.collect())
+
+    # Oracle agreement on the same corpus (duckdb view named like the
+    # driver's): the brute-force SQL mirrors the nrm > 0 exclusion.
+    # float32 round-trip: the engine reads array<float>, so the oracle
+    # must see the same float32-truncated values.
+    pdf32 = pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"],
+            "embedding": [
+                np.asarray(v, dtype=np.float32).tolist() for v in vecs
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf32)
+    sql = similarity.SQL_ANN_BRUTEFORCE.replace(
+        f"vec_id < {similarity.N_PROBE_IDS}", "vec_id < 4"
+    ).replace(f"rank <= {similarity.K}", "rank <= 3")
+    exp = sorted(
+        (int(q), int(rk), int(n), round(float(c), 6))
+        for q, rk, n, c in con.execute(sql).fetchall()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["n_id"], round(r["cosine"], 6))
+        for r in similarity.cosine_topk_bruteforce(emb, probes, k=3).collect()
+    )
+    assert got == exp

@@ -64,3 +64,32 @@ def test_read_engine_table_iceberg_call_shape(spark, monkeypatch):
     )
     tables.read_engine_table(spark, "/idx/gen1/segments")
     assert log["table"] == "ice.idx.gen1.segments"
+
+
+def test_iceberg_catalog_probe_ignores_subkeys():
+    """Only the catalog-DEFINING key spark.sql.catalog.<name> names a
+    catalog; sub-keys (…<name>.warehouse=/data/iceberg/wh) whose values
+    also contain 'iceberg' must not win — getAll() order is arbitrary,
+    and matching one yielded the identifier '<name>.warehouse'."""
+
+    class _FakeConf:
+        def __init__(self, pairs):
+            self._p = pairs
+
+        def getAll(self):
+            return self._p
+
+    class _FakeSpark:
+        def __init__(self, pairs):
+            conf = _FakeConf(pairs)
+            self.sparkContext = type("SC", (), {"getConf": lambda s: conf})()
+
+    # Sub-key listed FIRST (the order that broke the old parse).
+    pairs = [
+        ("spark.sql.catalog.local.warehouse", "/data/iceberg/wh"),
+        ("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"),
+        ("spark.sql.catalog.local.catalog-impl", "org.apache.iceberg.rest.RESTCatalog"),
+    ]
+    assert tables._iceberg_catalog(_FakeSpark(pairs)) == "local"
+    # Sub-keys alone define no catalog.
+    assert tables._iceberg_catalog(_FakeSpark(pairs[:1])) is None
