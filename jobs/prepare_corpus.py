@@ -53,8 +53,13 @@ def main() -> None:
     # would apply automatically under AQE when it fits.
     out = docs.join(kept, "doc_id", "inner")
     write_table(out, args.out)
-    n_in = docs.count()
-    n_out = out.count()
+    n_in = docs.count()  # metadata-cheap parquet count (pruned scan)
+    # Count the WRITTEN table, not the pipeline frame: out.count() would
+    # re-execute the whole clean+dedup+join (nothing is persisted),
+    # roughly doubling the job's cost for a stats line.
+    from oculus_crawl_spark.sources.tables import read_engine_table
+
+    n_out = read_engine_table(spark, args.out).count()
     print(
         json.dumps(
             {

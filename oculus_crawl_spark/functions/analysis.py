@@ -110,6 +110,27 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return s
 
 
+def tokenize_batch(text: pd.Series) -> tuple:
+    """Whole-batch FLAT mirror of the frozen tokenize spec: the same
+    NFC -> casefold -> [a-z0-9]+ steps as ``tokenize``/``tokenize_udf``,
+    returning (flat tokens in document order as an object ndarray,
+    tokens-per-row counts). Lives HERE — not in a consumer — because the
+    module contract forbids forking the analysis chain: the dedup
+    signature kernels (MinHash shingles, SimHash) consume this form, and
+    a consumer-local copy would silently miss a v2 spec change that
+    bumps ``analysis_version``."""
+    from itertools import chain
+
+    import numpy as np
+
+    s = text.fillna("").reset_index(drop=True)
+    s = s.str.normalize("NFC").str.casefold()
+    lists = s.str.findall(_TOKEN)
+    counts = lists.str.len().to_numpy().astype(np.int64)
+    flat = np.asarray(list(chain.from_iterable(lists)), dtype=object)
+    return flat, counts
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(text: pd.Series) -> pd.Series:
     """Vectorized mirror of ``tokenize`` — NFC normalize, casefold and

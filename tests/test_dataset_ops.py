@@ -609,3 +609,23 @@ def test_zero_norm_vectors_excluded_not_crashed(spark):
         for r in similarity.cosine_topk_bruteforce(emb, probes, k=3).collect()
     )
     assert got == exp
+
+
+def test_simhash_empty_docs_do_not_flood_candidates(spark):
+    """Contentless docs all fingerprint to the zero sentinel; without
+    the sentinel filter every pair of them collides in all 20 tables
+    (a 10k-empty-doc shard => ~10^8 meaningless candidates). They must
+    be excluded — mirroring the MinHash path's NULL-band exclusion —
+    while real near-dups still pair."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "!!!"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_dup_pairs(docs).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(4, 5)}
