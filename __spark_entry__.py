@@ -33,11 +33,13 @@ from oculus_crawl_spark.operators.query import search
 # Registry order is load-bearing: the driver grades (at most) the FIRST
 # 50 entries, so every oracle-checked entry must precede the rows-only
 # ones. Module order puts the small op families ahead of the 25-entry
-# rel_* block, and _DEFERRED pins the two rows-only, pytest-gated
-# entries at the very end (they are the ones that may fall outside the
-# grading window).
+# rel_* block, and queries() DERIVES the deferred tail from "has no
+# oracle SQL" (a hardcoded name list silently rotted once —
+# ann_cosine_topk_ivf sat mid-registry, and one more oracle-checked
+# entry would have pushed rel_sessionize out of the window while a
+# rows-only entry kept an in-window slot). Rows-only entries keep
+# their relative order, so the in-window composition is stable.
 _OP_MODULES = (multimodal, similarity, dedup, textquality, pipeline, relational)
-_DEFERRED = ("rel_approx_distinct_telemetry", "dedup_simhash")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -57,11 +59,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(fulltext_queries.queries())
+    rows_only: list[str] = []
+    out.update(fulltext_queries.queries())  # all oracle-checked
     for mod in _OP_MODULES:
-        for name, (fn, _sql) in mod.QUERIES.items():
+        for name, (fn, sql) in mod.QUERIES.items():
             out[name] = _with_conf(fn)
-    for name in _DEFERRED:  # rows-only entries go last (grading window)
+            if sql is None:
+                rows_only.append(name)
+    for name in rows_only:  # rows-only entries go last (grading window)
         out[name] = out.pop(name)
     return out
 

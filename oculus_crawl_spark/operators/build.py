@@ -83,9 +83,14 @@ class IndexPaths:
 
     @property
     def docmap_meta(self) -> str:
-        # Pins the id-assignment geometry of this generation: the
-        # resolved dense-id bucket count plus the offset new ids start
-        # at (assign_dense_ids renumbers if the bucket count changes).
+        # PROVENANCE record of this generation's id assignment (the
+        # resolved dense-id bucket count + the offset fresh ids start
+        # at) — audit metadata, not an enforcement mechanism: id
+        # stability across generations comes from the prior-docmap
+        # join alone (carried urls keep their ids; fresh ids only need
+        # to be dense above the prior max, which holds at any bucket
+        # count), and a re-run derives the same geometry from the same
+        # counts deterministically.
         return os.path.join(self.root, "docmap_meta")
 
     @property
@@ -298,6 +303,14 @@ def prepare_pages(
     immediately after extraction so column pruning keeps it out of
     every shuffle."""
     df = pages.filter(F.col("url").isNotNull() & F.col("html").isNotNull())
+    if "lang" not in df.columns:
+        # The docstring's `[lang]` is genuinely optional: a langs filter
+        # without the column is a hard error (the operator cannot apply
+        # it), but an unfiltered build must not crash on the final
+        # select — carry an explicit NULL lang instead.
+        if langs is not None:
+            raise ValueError("langs filter requires a `lang` column on pages")
+        df = df.withColumn("lang", F.lit(None).cast("string"))
     if langs is not None:
         df = df.filter(F.col("lang").isin(list(langs)))
     w = Window.partitionBy("url").orderBy(
@@ -355,10 +368,11 @@ def assign_dense_ids_resolved(
     pre-buckets (hash mod 65536) and, since n | 65536, folds them into
     the final buckets driver-side ((h mod 65536) mod n == h mod n).
     Deterministic for a fixed key set and bucket count; changing the
-    bucket count renumbers — the resolved count is RETURNED so callers
-    can pin it per index generation (build_index_from_pages persists it
-    in docmap_meta) when ids must stay stable across incremental
-    builds."""
+    bucket count renumbers — the resolved count is RETURNED and
+    build_index_from_pages persists it in docmap_meta as generation
+    PROVENANCE (cross-generation id stability itself needs no pinning:
+    carried urls keep their ids via the prior-docmap join, and fresh
+    ids are offset past the prior max at any bucket count)."""
     pre = 65536 if n_partitions is None else n_partitions
     with_pre = df.withColumn(
         "_pre", F.pmod(F.xxhash64(F.col(key_col)), F.lit(pre)).cast("int")
@@ -983,9 +997,13 @@ def build_index_from_pages(
             .drop("_prior_id")
         )
         fresh = joined.filter(F.col("_prior_id").isNull()).drop("_prior_id")
-        base_offset = (
-            int(prior.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or -1) + 1
-        )
+        prior_max = prior.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        # Explicit None check — `or -1` was a falsy-ZERO bug: a
+        # single-doc prior (max doc_id 0) read as "no prior rows",
+        # base_offset became 0, and the first fresh url collided with
+        # the carried doc_id 0 (latest-epoch-wins would then conflate
+        # two different urls' postings).
+        base_offset = (int(prior_max) if prior_max is not None else -1) + 1
         fresh_ids, n_id_buckets = assign_dense_ids_resolved(fresh, "url", "doc_id")
         fresh_ids = fresh_ids.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(base_offset)).cast("long")

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bm25
 from ..functions.analysis import TOKENIZE_ORACLE_REGEX, tokenize
-from ..sources.tables import read_engine_table, table_signature
+from ..sources.tables import read_engine_table, read_table, table_signature
 from .build import build_index_from_documents
 from .query import search, search_bruteforce
 
@@ -90,7 +90,7 @@ def get_merged_index(spark: SparkSession, sf_dir: str) -> str:
         from .merge import merge_indexes
 
         tmp = tempfile.mkdtemp(prefix="ocs_merged_")
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        docs = read_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
         build_index(docs.filter(F.col("doc_id") % 2 == 0), f"{tmp}/ep0", epoch=0)
@@ -165,7 +165,7 @@ def _indexed(query: str, k: int = 10):
 def _bruteforce(query: str, k: int = 10):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_conf(spark)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = read_table(spark, sf_dir, "documents")
         return _rerank_rounded(
             search_bruteforce(spark, docs, [query], k=k + _K_SLACK), k=k
         )
@@ -378,7 +378,7 @@ def _pages_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     key."""
     mroot = get_pages_merged_index(spark, sf_dir)
     root1 = get_pages_epoch1_index(spark, sf_dir)
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_docs = read_table(spark, sf_dir, "documents").count()
     url_of = read_engine_table(spark, f"{root1}/docmap").select("doc_id", "url")
     out = search(spark, mroot, ["dup again"], k=2 * n_docs).join(
         url_of, "doc_id"
@@ -452,7 +452,7 @@ _NL_S13 = " 東京 øre"  # -> token re (ø and CJK are separators)
 
 
 def _nonlatin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     suffix = F.concat(
         F.when(F.col("doc_id") % 7 == 0, F.lit(_NL_S7)).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 11 == 0, F.lit(_NL_S11)).otherwise(F.lit("")),
@@ -489,7 +489,7 @@ def _nonlatin_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied the frozen NFC+casefold spec rather than lower().
     k = n_docs returns the full match set (no fixed-k tie boundary)."""
     root = get_nonlatin_index(spark, sf_dir)
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_docs = read_table(spark, sf_dir, "documents").count()
     return _rerank_rounded(search(spark, root, ["strasse finance"], k=n_docs))
 
 

@@ -289,9 +289,15 @@ def _read_done_buckets(spark: SparkSession, paths: IndexPaths, epoch: int) -> se
 
 
 def _doclen_and_tombstones(
-    spark: SparkSession, inputs: list[IndexPaths], range_bits: int
+    spark: SparkSession,
+    inputs: list[IndexPaths],
+    epochs: list[int],
+    range_bits: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(merged doclen, tombstones, ranked-handle). One ranking window
+    """(merged doclen, tombstones, ranked-handle). ``epochs`` is passed
+    in by the caller (merge_indexes already collected every input's
+    corpus_stats for the geometry/version checks — re-reading them here
+    cost N extra read+collect jobs per merge). One ranking window
     over the unioned doclens yields both: rank 1 per doc_id is the
     surviving (latest) epoch; every other (doc_id, epoch) row is a
     superseded crawl whose postings must be dropped wholesale —
@@ -304,8 +310,7 @@ def _doclen_and_tombstones(
     every input doclen table and re-runs the partitionBy(doc_id) window
     shuffle (~4x a multi-TB shuffle at the 10^12-doc design point)."""
     parts = []
-    for p in inputs:
-        ep = int(spark.read.parquet(p.corpus_stats).collect()[0]["epoch"])
+    for p, ep in zip(inputs, epochs):
         parts.append(
             spark.read.parquet(p.doclen).withColumn("epoch", F.lit(ep).cast("long"))
         )
@@ -471,7 +476,7 @@ def merge_indexes(
 
     # Merged corpus stats FIRST — block-max bounds depend on avgdl.
     doclen, tombstones, ranked = _doclen_and_tombstones(
-        spark, inputs, range_bits
+        spark, inputs, epochs, range_bits
     )
     row = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     # avg over zero rows is NULL: merging all-empty inputs (zero-doc

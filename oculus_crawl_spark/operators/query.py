@@ -517,12 +517,18 @@ class SearchSession:
         else:
             self._segments = seg
         self._resident: dict[str, tuple[int, int]] | None = None
-        if self._dictionary.count() <= max_resident_terms:
+        # ONE dictionary job decides residency AND loads the map: the
+        # limit(cap + 1) overfetch reveals "too big" (len > cap) without
+        # a separate full count() — the old count-then-collect pair ran
+        # two full dictionary scans at every session open.
+        rows = (
+            self._dictionary.select("term", "df", "term_bucket")
+            .limit(max_resident_terms + 1)
+            .collect()
+        )
+        if len(rows) <= max_resident_terms:
             self._resident = {
-                r["term"]: (int(r["df"]), int(r["term_bucket"]))
-                for r in self._dictionary.select(
-                    "term", "df", "term_bucket"
-                ).collect()
+                r["term"]: (int(r["df"]), int(r["term_bucket"])) for r in rows
             }
 
     def invalidate(self) -> None:

@@ -189,6 +189,10 @@ def main() -> None:
     )
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     modes = sys.argv[4] if len(sys.argv) > 4 else "thread"
+    if modes not in ("thread", "proc", "both"):
+        # A typo'd mode would silently run the thread branch but label
+        # the BENCH_scaling.jsonl rows with the bogus string.
+        sys.exit(f"mode must be thread|proc|both, got {modes!r}")
     modes = ["thread", "proc"] if modes == "both" else [modes]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores_needed = sorted({c for n in ns for c in (n, 4 * n)})

@@ -155,3 +155,54 @@ def test_pages_build_matches_documents_build(spark, index_sf0001, query_set):
         assert got_uni and got_uni == want_uni
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incremental_offset_survives_single_doc_prior(spark):
+    """Falsy-zero regression: a prior generation whose max doc_id is 0
+    (single-url epoch 0) must offset fresh ids past it — `max or -1`
+    read the legitimate 0 as 'no prior rows' and the first NEW url
+    collided with the carried doc_id 0 (two urls, one id: the merge's
+    latest-epoch-wins would conflate their postings)."""
+    tmp = tempfile.mkdtemp(prefix="ocs_prior0_")
+    try:
+        one = spark.createDataFrame(
+            [("https://example.org/a", _T0, wrap_html("alpha beta", 0), None, "en")],
+            schemas.PAGES,
+        )
+        build_index_from_pages(one, f"{tmp}/ep0", epoch=0)
+        two = spark.createDataFrame(
+            [
+                ("https://example.org/a", _T0 + dt.timedelta(hours=1),
+                 wrap_html("alpha beta again", 0), None, "en"),
+                ("https://example.org/b", _T0 + dt.timedelta(hours=1),
+                 wrap_html("gamma delta", 1), None, "en"),
+            ],
+            schemas.PAGES,
+        )
+        build_index_from_pages(
+            two, f"{tmp}/ep1", epoch=1, prior_docmap=f"{tmp}/ep0/docmap"
+        )
+        dm = {
+            r["url"]: r["doc_id"]
+            for r in spark.read.parquet(f"{tmp}/ep1/docmap").collect()
+        }
+        assert dm["https://example.org/a"] == 0
+        assert dm["https://example.org/b"] == 1  # dense, past the prior max
+        assert len(set(dm.values())) == len(dm)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_prepare_pages_lang_column_optional(spark):
+    """The docstring's `[lang]` is optional: a pages frame without the
+    column must build (NULL lang carried), while a langs FILTER without
+    the column is a loud error, not a silent no-op."""
+    no_lang = spark.createDataFrame(
+        [("https://example.org/x", _T0, wrap_html("hello world", 7))],
+        "url string, warc_ts timestamp, html binary",
+    )
+    out = prepare_pages(no_lang).collect()
+    assert len(out) == 1 and out[0]["lang"] is None
+    assert out[0]["text"] == "hello world"
+    with pytest.raises(ValueError, match="lang"):
+        prepare_pages(no_lang, langs=["en"])
